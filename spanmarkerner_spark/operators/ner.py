@@ -1,0 +1,287 @@
+"""SpanMarker-style NER as Spark stages.
+
+    sentences --tokenize(U2: mapInPandas)--> tokenized
+              --enumerate spans (F2: pure expressions)-->
+              --spread (U3: explode+slice, pure expressions)-->
+              --score (U4+U5: mapInPandas, numpy encoder)--> scored
+              --decode (U6/W3: narrow buffered mapInPandas)--> mentions
+
+Scale notes (100 TB design):
+- tokenize/score/decode are NARROW: after segment_sentences' window
+  (which hash-partitions by url and sorts by sentence_id within
+  partitions), no further shuffle is required through decode — chunks
+  of one sentence stay adjacent in one partition, so decode can
+  stream with a key-change buffer across Arrow batches. A
+  groupBy-based decode (decode_mentions_shuffle) exists as the
+  order-independent fallback.
+- span enumeration and spreading are whole-stage-codegen expressions;
+  the O(n*L) span blow-up never hits a shuffle (SURVEY.md §4).
+- the encoder weights are built once per Python worker (module cache),
+  not shipped per task.
+
+Reference semantics: span_marker/tokenizer.py:161-266 (U2/F2),
+span_marker/trainer.py:368-405 (U3), span_marker/data_collator.py:52-130
++ span_marker/modeling.py:125-205,512-530 (U4/U5),
+span_marker/modeling.py:532-574 (U6/W3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spanmarkerner_spark import schemas
+from spanmarkerner_spark.config import SpanMarkerConfig
+from spanmarkerner_spark.model import TinySpanEncoder, greedy_decode, score_batch
+from spanmarkerner_spark.subword import encode_words
+
+# once-per-worker encoder cache (keyed by config identity fields)
+_ENCODER_CACHE: dict[tuple, TinySpanEncoder] = {}
+
+
+def _get_encoder(cfg: SpanMarkerConfig) -> TinySpanEncoder:
+    key = (cfg.seed, cfg.hidden_size, cfg.vocab_size, cfg.model_max_length,
+           cfg.marker_max_length, tuple(cfg.labels))
+    enc = _ENCODER_CACHE.get(key)
+    if enc is None:
+        enc = _ENCODER_CACHE[key] = TinySpanEncoder(cfg)
+    return enc
+
+
+# -------------------------------------------------------------------
+# U2: tokenize
+# -------------------------------------------------------------------
+
+def tokenize(sentences: DataFrame, cfg: SpanMarkerConfig) -> DataFrame:
+    """sentences -> TOKENIZED via one Arrow-batched UDF."""
+    vocab, mml = cfg.vocab_size, cfg.model_max_length
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "sentence_id", "tokens", "input_ids", "num_words",
+                "word_tok_start", "word_tok_end", "word_char_start",
+                "word_char_end", "char_offset")}
+            for url, sid, toks, off in zip(
+                pdf["url"], pdf["sentence_id"], pdf["tokens"], pdf["char_offset"]
+            ):
+                words = list(toks)
+                enc = encode_words(words, vocab, mml)
+                if enc["num_words"] == 0:
+                    continue
+                out["url"].append(url)
+                out["sentence_id"].append(sid)
+                out["tokens"].append(words[: enc["num_words"]])
+                out["input_ids"].append(enc["input_ids"])
+                out["num_words"].append(enc["num_words"])
+                out["word_tok_start"].append(enc["word_tok_start"])
+                out["word_tok_end"].append(enc["word_tok_end"])
+                out["word_char_start"].append(enc["word_char_start"])
+                out["word_char_end"].append(enc["word_char_end"])
+                out["char_offset"].append(off)
+            yield pd.DataFrame(out)
+
+    cols = ["url", "sentence_id", "tokens", "char_offset"]
+    return sentences.select(cols).mapInPandas(fn, schema=schemas.TOKENIZED)
+
+
+# -------------------------------------------------------------------
+# F2 + U3: enumerate candidate spans, then spread over marker budget —
+# pure codegen expressions, no Python
+# -------------------------------------------------------------------
+
+def enumerate_and_spread(tokenized: DataFrame, cfg: SpanMarkerConfig) -> DataFrame:
+    L = cfg.entity_max_length
+    total = cfg.total_size
+    mml = cfg.marker_max_length
+
+    spans = F.expr(
+        "flatten(transform(sequence(0, num_words - 1), "
+        f" s -> transform(sequence(s + 1, least(num_words, s + {L})), "
+        "  e -> struct(s, e))))"
+    )
+    df = (
+        tokenized.filter(F.col("num_words") > 0)
+        .withColumn("_spans", spans)
+        .withColumn(
+            "_space",
+            F.least(
+                F.lit(mml),
+                F.floor((F.lit(total) - F.size("input_ids")) / 2).cast("int"),
+            ),
+        )
+        .withColumn(
+            "_chunks",
+            F.ceil(F.size("_spans") / F.col("_space")).cast("int"),
+        )
+    )
+    # 1 -> N: one physical sample per marker-budget chunk
+    # (trainer.py:368-405 semantics, as a pure explode)
+    df = df.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.col("_chunks") - 1)))
+    sl = "slice(_spans, chunk * _space + 1, _space)"
+    return (
+        df.withColumn("_chunk_spans", F.expr(sl))
+        .withColumn("span_starts", F.expr("transform(_chunk_spans, p -> p.s)"))
+        .withColumn("span_ends", F.expr("transform(_chunk_spans, p -> p.e)"))
+        .withColumn(
+            "start_position_ids",
+            F.expr("transform(_chunk_spans, p -> element_at(word_tok_start, p.s + 1))"),
+        )
+        .withColumn(
+            "end_position_ids",
+            F.expr("transform(_chunk_spans, p -> element_at(word_tok_end, p.e))"),
+        )
+        .drop("_spans", "_space", "_chunks", "_chunk_spans")
+    )
+
+
+# -------------------------------------------------------------------
+# U4 + U5: collate + encoder forward + softmax (one fused UDF)
+# -------------------------------------------------------------------
+
+def score_spans(
+    spread: DataFrame, cfg: SpanMarkerConfig, gazetteer: dict[str, int]
+) -> DataFrame:
+    gaz = dict(gazetteer)  # small (broadcast-in-closure); weights built per worker
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = _get_encoder(cfg)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for toks, iids, sp, ep, ss, se in zip(
+                pdf["tokens"], pdf["input_ids"], pdf["start_position_ids"],
+                pdf["end_position_ids"], pdf["span_starts"], pdf["span_ends"],
+            ):
+                toks = list(toks)
+                rows.append(
+                    {
+                        "input_ids": list(iids),
+                        "start_position_ids": list(sp),
+                        "end_position_ids": list(ep),
+                        "span_texts": [
+                            " ".join(toks[s:e]).lower()
+                            for s, e in zip(ss, se)
+                        ],
+                    }
+                )
+            scored = score_batch(enc, rows, gaz, cfg)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "sentence_id": pdf["sentence_id"],
+                    "chunk": pdf["chunk"],
+                    "span_starts": pdf["span_starts"],
+                    "span_ends": pdf["span_ends"],
+                    "label_ids": [s[0] for s in scored],
+                    "scores": [s[1] for s in scored],
+                    "tokens": pdf["tokens"],
+                    "word_char_start": pdf["word_char_start"],
+                    "word_char_end": pdf["word_char_end"],
+                    "char_offset": pdf["char_offset"],
+                }
+            )
+
+    cols = [
+        "url", "sentence_id", "chunk", "tokens", "input_ids",
+        "span_starts", "span_ends", "start_position_ids",
+        "end_position_ids", "word_char_start", "word_char_end",
+        "char_offset",
+    ]
+    return spread.select(cols).mapInPandas(fn, schema=schemas.SCORED)
+
+
+# -------------------------------------------------------------------
+# U6 / W3: greedy non-overlap decode
+# -------------------------------------------------------------------
+
+def _decode_sentence(rows: list[dict], cfg: SpanMarkerConfig) -> list[dict]:
+    """Merge a sentence's chunks, greedy-select, emit mention dicts."""
+    first = rows[0]
+    cand: list[tuple[int, int, int, float]] = []
+    for r in rows:
+        cand.extend(zip(r["span_starts"], r["span_ends"], r["label_ids"], r["scores"]))
+    kept = greedy_decode(cand, cfg.outside_id)
+    toks = list(first["tokens"])
+    wcs, wce, off = list(first["word_char_start"]), list(first["word_char_end"]), first["char_offset"]
+    out = []
+    for s, e, lab, sc in kept:
+        out.append(
+            {
+                "url": first["url"],
+                "sentence_id": int(first["sentence_id"]),
+                "span": " ".join(toks[s:e]),
+                "label": cfg.reduced_labels[lab],
+                "score": float(sc),
+                "word_start_index": int(s),
+                "word_end_index": int(e),
+                "char_start_index": int(off + wcs[s]),
+                "char_end_index": int(off + wce[e - 1]),
+            }
+        )
+    return out
+
+
+def decode_mentions(scored: DataFrame, cfg: SpanMarkerConfig) -> DataFrame:
+    """NARROW decode: scored chunks of one sentence are adjacent within
+    a partition (explode + mapInPandas preserve order), so buffer rows
+    per (url, sentence_id) across Arrow batch boundaries and flush on
+    key change — zero extra shuffle (SURVEY.md §7.3 batch-boundary
+    hazard handled by the carry buffer)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[dict] = []
+        key: tuple | None = None
+        pending: list[dict] = []
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                k = (row["url"], row["sentence_id"])
+                if k != key and buf:
+                    pending.extend(_decode_sentence(buf, cfg))
+                    buf = []
+                key = k
+                buf.append(row)
+            if pending:
+                yield pd.DataFrame(pending)
+                pending = []
+        if buf:
+            pending.extend(_decode_sentence(buf, cfg))
+        if pending:
+            yield pd.DataFrame(pending)
+
+    return scored.mapInPandas(fn, schema=schemas.MENTIONS)
+
+
+def decode_mentions_shuffle(scored: DataFrame, cfg: SpanMarkerConfig) -> DataFrame:
+    """Order-independent decode via groupBy + applyInPandas — the
+    fallback when upstream adjacency cannot be guaranteed (e.g. input
+    read back from an unsorted table)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            _decode_sentence(pdf.to_dict("records"), cfg),
+            columns=[f.name for f in schemas.MENTIONS.fields],
+        )
+
+    return scored.groupBy("url", "sentence_id").applyInPandas(
+        fn, schema=schemas.MENTIONS
+    )
+
+
+def ner_mentions(
+    sentences: DataFrame,
+    cfg: SpanMarkerConfig,
+    gazetteer: dict[str, int],
+    narrow_decode: bool = True,
+) -> DataFrame:
+    """sentences -> mentions, the full U2..U6 chain."""
+    tok = tokenize(sentences, cfg)
+    spread = enumerate_and_spread(tok, cfg)
+    scored = score_spans(spread, cfg, gazetteer)
+    if narrow_decode:
+        return decode_mentions(scored, cfg)
+    return decode_mentions_shuffle(scored, cfg)

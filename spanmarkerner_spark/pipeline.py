@@ -1,0 +1,117 @@
+"""End-to-end KG construction pipeline.
+
+pages(url, warc_ts, html, text, lang)
+  -> extract (JVM expr, byte-identical per url)
+  -> segment (posexplode + window offset)
+  -> ner_mentions (tokenize/spread/score/decode)
+  -> link_mentions (broadcast alias join + rerank)
+  -> canonicalize (connected components over shared-entity edges)
+  -> extract_relations (pair self-join + broadcast pattern join)
+  -> triples
+
+Partitioning: one explicit repartition on xxhash64(url) right after
+segmentation — every later stage is either narrow (tokenize, spread,
+score, decode) or joins on keys prefixed by url, so the single
+shuffle placement is deliberate (SURVEY.md §4 "explicit
+repartition(hash(url)) before scoring"). At 100 TB the same plan
+holds: url-hash is ~uniform (no hot key), AQE splits stragglers, and
+the O(n*L) span blow-up happens after the shuffle, never through it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spanmarkerner_spark.config import KG_LABELS, SpanMarkerConfig
+from spanmarkerner_spark.datagen import RELATION_PATTERNS, alias_rows, gazetteer
+from spanmarkerner_spark.functions.text import segment_sentences, with_extracted_text
+from spanmarkerner_spark.operators.components import connected_components
+from spanmarkerner_spark.operators.linking import link_mentions
+from spanmarkerner_spark.operators.ner import ner_mentions
+from spanmarkerner_spark.operators.relations import extract_relations
+from spanmarkerner_spark import schemas
+
+
+def default_config() -> SpanMarkerConfig:
+    return SpanMarkerConfig(labels=KG_LABELS)
+
+
+def alias_dict_df(spark) -> DataFrame:
+    return spark.createDataFrame(alias_rows(), schema=schemas.ALIAS_DICT)
+
+
+def run_pipeline(
+    pages: DataFrame,
+    cfg: SpanMarkerConfig | None = None,
+    alias_df: DataFrame | None = None,
+    patterns: dict[str, str] | None = None,
+    lang_filter: str | None = None,
+    num_partitions: int | None = None,
+    use_extracted: bool = True,
+    canonicalize: bool = False,
+) -> dict[str, DataFrame]:
+    """Returns the named intermediate tables; 'triples' is the output.
+
+    lang_filter pushes a partition-prunable predicate to the scan.
+    canonicalize=True additionally rewrites entity ids through
+    connected components over co-sentence co-reference edges (same
+    canonical id for entities sharing an alias cluster).
+    """
+    spark = pages.sparkSession
+    cfg = cfg or default_config()
+    alias_df = alias_df if alias_df is not None else alias_dict_df(spark)
+    patterns = patterns or dict(RELATION_PATTERNS)
+    gaz = gazetteer(cfg)
+
+    if lang_filter:
+        pages = pages.filter(F.col("lang") == lang_filter)
+
+    if use_extracted:
+        pages = with_extracted_text(pages)
+        text_col = "extracted_text"
+    else:
+        text_col = "text"
+
+    sentences = segment_sentences(pages, text_col=text_col)
+    if num_partitions:
+        # the single deliberate shuffle: co-locate a page's sentences
+        sentences = sentences.repartition(num_partitions, "url")
+        from pyspark.sql import Window
+
+        # repartition destroys the window sort; re-sort within partitions
+        sentences = sentences.sortWithinPartitions("url", "sentence_id")
+
+    mentions = ner_mentions(sentences, cfg, gaz)
+    linked = link_mentions(mentions, alias_df)
+
+    if canonicalize:
+        # alias-overlap edges: entities sharing a surface form
+        surf = linked.filter(F.col("entity_id").isNotNull()).select(
+            F.lower("span").alias("alias"), "entity_id"
+        )
+        edges = (
+            surf.alias("x")
+            .join(surf.alias("y"), "alias")
+            .select(
+                F.col("x.entity_id").alias("src"),
+                F.col("y.entity_id").alias("dst"),
+            )
+        )
+        comp = connected_components(edges)
+        linked = (
+            linked.join(
+                comp.withColumnRenamed("node", "entity_id"), "entity_id", "left"
+            )
+            .withColumn("entity_id", F.coalesce("component", "entity_id"))
+            .drop("component")
+        )
+
+    triples = extract_relations(linked, sentences, patterns)
+    return {
+        "pages": pages,
+        "sentences": sentences,
+        "mentions": mentions,
+        "linked": linked,
+        "triples": triples,
+    }

@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing uses local[N]; the same conf block is what we'd
+ship with spark-submit on a real cluster (AQE on, Arrow on, sensible
+shuffle parallelism). Session TZ pinned to UTC so results compare
+bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make spanmarkerner_spark importable on executors — the local
+    equivalent of `spark-submit --py-files pkg.zip` (north_rule). In
+    local mode workers inherit the driver env only at fork, so a
+    driver-side sys.path tweak is NOT enough; addPyFile works in both
+    local and cluster mode."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="smns_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "spanmarkerner_spark_pkg"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
+def get_spark(
+    app_name: str = "spanmarkerner_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores) if str(cores).isdigit() else 32, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
