@@ -15,6 +15,21 @@ corpus. The *dataflow contract* — marker layout, position ids,
 attention blocks, per-pair classification, softmax scores — is
 faithful to the reference; the learned weights are a stand-in.
 
+Two forward implementations:
+
+- ``forward_full``: the reference-faithful layout — total_size-wide
+  padded batch, markers placed after the text at an even offset, full
+  (B, T, T) block attention matrix. Kept as the semantics spec and
+  used only in tests.
+- ``forward_markers`` (production): mathematically the same attention
+  restricted to the rows/columns that can influence the classifier.
+  With a single encoder layer, text-row attention outputs are never
+  consumed — only marker rows reach the classifier, and marker rows
+  attend to exactly {text tokens, self, pair partner}. Computing just
+  those entries is ~60x faster in this container (numpy's batched
+  3D matmul + a (B,T,T) float mask were the bottleneck) and is what
+  a fused GPU kernel would do anyway.
+
 Everything here is pure numpy and shared verbatim by the Spark
 mapInPandas UDF and the single-process oracle, so any pipeline/oracle
 mismatch isolates a *dataflow* bug, not a math bug.
@@ -29,6 +44,7 @@ from spanmarkerner_spark.subword import END_MARKER_ID, PAD_ID, START_MARKER_ID
 
 GAZ_BONUS = 8.0
 OUTSIDE_BONUS = 4.0
+DTYPE = np.float32
 
 
 class TinySpanEncoder:
@@ -40,50 +56,141 @@ class TinySpanEncoder:
         d = cfg.hidden_size
         rng = np.random.RandomState(cfg.seed)
         s = 1.0 / np.sqrt(d)
-        self.emb = rng.normal(0, s, (cfg.vocab_size, d))
+        self.emb = rng.normal(0, s, (cfg.vocab_size, d)).astype(DTYPE)
         # position ids run 0..model_max_length+2 (text positions +2)
-        self.pos = rng.normal(0, s, (cfg.model_max_length + 3, d))
-        self.wq = rng.normal(0, s, (d, d))
-        self.wk = rng.normal(0, s, (d, d))
-        self.wv = rng.normal(0, s, (d, d))
-        self.wo = rng.normal(0, s, (d, d))
-        self.w1 = rng.normal(0, s, (d, 2 * d))
-        self.w2 = rng.normal(0, s, (2 * d, d))
-        self.cls_w = rng.normal(0, s, (2 * d, cfg.num_reduced_labels))
-        self.cls_b = np.zeros(cfg.num_reduced_labels)
+        self.pos = rng.normal(0, s, (cfg.model_max_length + 3, d)).astype(DTYPE)
+        self.wq = rng.normal(0, s, (d, d)).astype(DTYPE)
+        self.wk = rng.normal(0, s, (d, d)).astype(DTYPE)
+        self.wv = rng.normal(0, s, (d, d)).astype(DTYPE)
+        self.wo = rng.normal(0, s, (d, d)).astype(DTYPE)
+        self.w1 = rng.normal(0, s, (d, 2 * d)).astype(DTYPE)
+        self.w2 = rng.normal(0, s, (2 * d, d)).astype(DTYPE)
+        self.cls_w = rng.normal(0, s, (2 * d, cfg.num_reduced_labels)).astype(DTYPE)
+        self.cls_b = np.zeros(cfg.num_reduced_labels, DTYPE)
 
-    def forward(
+    # ---------------- production path ----------------
+
+    def forward_markers(
+        self,
+        text_ids: np.ndarray,   # (B, n_max) int, PAD_ID-padded
+        text_len: np.ndarray,   # (B,)
+        sp: np.ndarray,         # (B, m_max) start-marker position ids (+2), 0-padded
+        ep: np.ndarray,         # (B, m_max) end-marker position ids (+2)
+        num_pairs: np.ndarray,  # (B,)
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (h_start, h_end): (B, m_max, d) marker hidden states.
+
+        Exactly the block-attention semantics of forward_full for the
+        marker rows: each marker attends to the text tokens, itself,
+        and its pair partner; masked positions contribute exact zeros.
+        """
+        B, n_max = text_ids.shape
+        d = self.cfg.hidden_size
+        scale = DTYPE(1.0 / np.sqrt(d))
+        # h0 for text (text position ids are 2..n+1) and markers
+        text_pos = np.arange(2, n_max + 2, dtype=np.int64)[None, :]
+        h_text = self.emb[text_ids] + self.pos[np.broadcast_to(text_pos, text_ids.shape)]
+        h_s0 = self.emb[START_MARKER_ID] + self.pos[sp]   # (B, m, d)
+        h_e0 = self.emb[END_MARKER_ID] + self.pos[ep]
+        k_text = h_text @ self.wk
+        v_text = h_text @ self.wv
+        col_mask = (
+            np.arange(n_max)[None, :] < text_len[:, None]
+        )  # (B, n_max) valid text cols
+
+        def attend(h_self0, h_pair0):
+            q = h_self0 @ self.wq                     # (B, m, d)
+            k_self = h_self0 @ self.wk
+            k_pair = h_pair0 @ self.wk
+            v_self = h_self0 @ self.wv
+            v_pair = h_pair0 @ self.wv
+            s_text = np.einsum("bmd,bnd->bmn", q, k_text, optimize=True) * scale
+            s_text = np.where(col_mask[:, None, :], s_text, DTYPE(-np.inf))
+            s_self = (q * k_self).sum(-1) * scale     # (B, m)
+            s_pair = (q * k_pair).sum(-1) * scale
+            mx = np.maximum(
+                s_text.max(axis=-1), np.maximum(s_self, s_pair)
+            )  # (B, m)
+            e_text = np.exp(s_text - mx[:, :, None])
+            e_self = np.exp(s_self - mx)
+            e_pair = np.exp(s_pair - mx)
+            denom = e_text.sum(-1) + e_self + e_pair
+            ctx = (
+                np.einsum("bmn,bnd->bmd", e_text, v_text, optimize=True)
+                + e_self[:, :, None] * v_self
+                + e_pair[:, :, None] * v_pair
+            ) / denom[:, :, None]
+            h = h_self0 + ctx @ self.wo
+            h = h + np.maximum(h @ self.w1, 0) @ self.w2
+            h = (h - h.mean(-1, keepdims=True)) / (h.std(-1, keepdims=True) + 1e-6)
+            return h
+
+        return attend(h_s0, h_e0), attend(h_e0, h_s0)
+
+    # ---------------- reference-layout path (tests only) ----------------
+
+    def forward_full(
         self,
         input_ids: np.ndarray,      # (B, T) int
         position_ids: np.ndarray,   # (B, T) int
         attn_mask: np.ndarray,      # (B, T, T) bool
-    ) -> np.ndarray:                # (B, T, d) float64
-        h = self.emb[input_ids] + self.pos[position_ids]
-        q, k, v = h @ self.wq, h @ self.wk, h @ self.wv
-        scores = (q @ k.transpose(0, 2, 1)) / np.sqrt(h.shape[-1])
-        scores = np.where(attn_mask, scores, -1e30)
-        scores -= scores.max(axis=-1, keepdims=True)
+    ) -> np.ndarray:                # (B, T, d)
+        h0 = self.emb[input_ids] + self.pos[position_ids]
+        q, k, v = h0 @ self.wq, h0 @ self.wk, h0 @ self.wv
+        scores = (q @ k.transpose(0, 2, 1)) / np.sqrt(
+            np.asarray(h0.shape[-1], DTYPE)
+        )
+        scores = np.where(attn_mask, scores, -np.inf)
+        scores = scores - scores.max(axis=-1, keepdims=True)
         w = np.exp(scores)
         w = w / w.sum(axis=-1, keepdims=True)
-        h = h + (w @ v) @ self.wo
+        h = h0 + (w @ v) @ self.wo
         h = h + np.maximum(h @ self.w1, 0.0) @ self.w2
-        # parameter-free layernorm keeps activations bounded
         h = (h - h.mean(axis=-1, keepdims=True)) / (
             h.std(axis=-1, keepdims=True) + 1e-6
         )
         return h
 
 
-def collate(
+def collate(rows: list[dict], cfg: SpanMarkerConfig) -> dict[str, np.ndarray]:
+    """Batch materialization (data_collator.py:52-130 semantics in the
+    compact representation consumed by forward_markers): text padded to
+    the batch max length, marker position ids = span endpoints' token
+    positions + 2 (PL-Marker), marker count capped at marker_max_length.
+    """
+    B = len(rows)
+    n_max = max(min(len(r["input_ids"]), cfg.model_max_length) for r in rows)
+    m_max = max(min(len(r["start_position_ids"]), cfg.marker_max_length) for r in rows)
+    m_max = max(m_max, 1)
+    text_ids = np.full((B, n_max), PAD_ID, dtype=np.int64)
+    text_len = np.zeros(B, dtype=np.int64)
+    sp = np.zeros((B, m_max), dtype=np.int64)
+    ep = np.zeros((B, m_max), dtype=np.int64)
+    num_pairs = np.zeros(B, dtype=np.int64)
+    for b, row in enumerate(rows):
+        ids = row["input_ids"][: cfg.model_max_length]
+        n = len(ids)
+        m = min(len(row["start_position_ids"]), cfg.marker_max_length)
+        text_ids[b, :n] = ids
+        text_len[b] = n
+        sp[b, :m] = np.asarray(row["start_position_ids"][:m]) + 2
+        ep[b, :m] = np.asarray(row["end_position_ids"][:m]) + 2
+        num_pairs[b] = m
+    return {
+        "text_ids": text_ids,
+        "text_len": text_len,
+        "sp": sp,
+        "ep": ep,
+        "num_pairs": num_pairs,
+    }
+
+
+def collate_full(
     rows: list[dict], cfg: SpanMarkerConfig
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Batch materialization mirroring data_collator.py:52-130.
-
-    Each row dict needs: input_ids, start_position_ids,
-    end_position_ids (token positions of each span's first/last
-    subword). Returns (input_ids, position_ids, attn_mask,
-    start_marker_idx, num_pairs) padded to cfg.total_size.
-    """
+    """Reference-faithful wide layout (tests): pad to total_size, write
+    markers after the text at an even offset (data_collator.py:64-75),
+    build the (B, T, T) block attention matrix (:90-102)."""
     B, T = len(rows), cfg.total_size
     input_ids = np.full((B, T), PAD_ID, dtype=np.int64)
     position_ids = np.zeros((B, T), dtype=np.int64)
@@ -93,22 +200,16 @@ def collate(
     for b, row in enumerate(rows):
         ids = row["input_ids"][: cfg.model_max_length]
         n = len(ids)
-        sp = row["start_position_ids"]
-        ep = row["end_position_ids"]
-        m = min(len(sp), cfg.marker_max_length)
-        # markers start right after the text, rounded up to even
-        # (data_collator.py:64-75 — the v1.0.0 "+40%" layout)
+        spr = row["start_position_ids"]
+        epr = row["end_position_ids"]
+        m = min(len(spr), cfg.marker_max_length)
         m0 = n + (n % 2)
         input_ids[b, :n] = ids
         input_ids[b, m0 : m0 + m] = START_MARKER_ID
         input_ids[b, m0 + m : m0 + 2 * m] = END_MARKER_ID
-        # PL-Marker position trick: text at pos+2; markers copy their
-        # span endpoint's token position (+2) (data_collator.py:79-87)
         position_ids[b, :n] = np.arange(2, n + 2)
-        position_ids[b, m0 : m0 + m] = np.asarray(sp[:m]) + 2
-        position_ids[b, m0 + m : m0 + 2 * m] = np.asarray(ep[:m]) + 2
-        # block attention (data_collator.py:90-102): text<->text,
-        # markers->text, marker pair j mutually visible + self
+        position_ids[b, m0 : m0 + m] = np.asarray(spr[:m]) + 2
+        position_ids[b, m0 + m : m0 + 2 * m] = np.asarray(epr[:m]) + 2
         attn[b, :n, :n] = True
         attn[b, m0 : m0 + 2 * m, :n] = True
         for j in range(m):
@@ -132,20 +233,24 @@ def score_batch(
     the gazetteer feature. Returns per row: (label_ids, scores)."""
     if not rows:
         return []
-    input_ids, position_ids, attn, start_idx, num_pairs = collate(rows, cfg)
-    h = encoder.forward(input_ids, position_ids, attn)
+    c = collate(rows, cfg)
+    h_s, h_e = encoder.forward_markers(
+        c["text_ids"], c["text_len"], c["sp"], c["ep"], c["num_pairs"]
+    )
+    # classify all pairs at once: (B, m_max, 2d) @ (2d, L)
+    feats = np.concatenate([h_s, h_e], axis=-1)
+    logits = feats @ encoder.cls_w + encoder.cls_b  # (B, m_max, L)
     out: list[tuple[list[int], list[float]]] = []
     for b, row in enumerate(rows):
-        m0, m = int(start_idx[b]), int(num_pairs[b])
-        feats = np.concatenate([h[b, m0 : m0 + m], h[b, m0 + m : m0 + 2 * m]], axis=1)
-        logits = feats @ encoder.cls_w + encoder.cls_b  # (m, L)
+        m = int(c["num_pairs"][b])
+        lg = logits[b, :m].astype(np.float64)
         for j, text in enumerate(row["span_texts"][:m]):
             gl = gazetteer.get(text)
             if gl is not None:
-                logits[j, gl] += GAZ_BONUS
+                lg[j, gl] += GAZ_BONUS
             else:
-                logits[j, cfg.outside_id] += OUTSIDE_BONUS
-        z = logits - logits.max(axis=-1, keepdims=True)
+                lg[j, cfg.outside_id] += OUTSIDE_BONUS
+        z = lg - lg.max(axis=-1, keepdims=True)
         probs = np.exp(z)
         probs /= probs.sum(axis=-1, keepdims=True)
         label_ids = probs.argmax(axis=-1)

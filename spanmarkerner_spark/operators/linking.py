@@ -21,6 +21,7 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
 
     Output = MENTIONS columns + (entity_id, canonical_name, link_score).
     """
+    mention_cols = mentions.columns
     cand = mentions.join(
         F.broadcast(alias_dict),
         F.lower(mentions["span"]) == alias_dict["alias"],
@@ -28,12 +29,15 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     ).withColumn("link_score", F.col("score") * F.col("prior"))
 
     mention_key = ["url", "sentence_id", "word_start_index"]
-    # deterministic argmax: (link_score desc, entity_id asc)
-    best = (
+    # single-pass deterministic argmax: group carries the full mention
+    # row through max_by, so the mentions subtree executes exactly once
+    # (no join-back diamond = no recomputation of the NER stages)
+    carry = [c for c in mention_cols if c not in mention_key]
+    return (
         cand.groupBy(*mention_key)
         .agg(
             F.max_by(
-                F.struct("entity_id", "canonical_name", "link_score"),
+                F.struct(*carry, "entity_id", "canonical_name", "link_score"),
                 F.struct(
                     F.col("link_score").alias("s"),
                     (-F.coalesce(F.col("entity_id"), F.lit(0))).alias("t"),
@@ -42,9 +46,10 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
         )
         .select(
             *mention_key,
+            *[F.col(f"_best.{c}").alias(c) for c in carry],
             F.col("_best.entity_id").alias("entity_id"),
             F.col("_best.canonical_name").alias("canonical_name"),
             F.col("_best.link_score").alias("link_score"),
         )
+        .select(*mention_cols, "entity_id", "canonical_name", "link_score")
     )
-    return mentions.join(best, mention_key, "left")

@@ -5,14 +5,19 @@ linked mentions in the same sentence with m1 strictly before m2, the
 token sequence strictly between them is matched against a broadcast
 predicate-pattern dictionary ("works for" -> works_for, ...).
 
-All JVM-side: a self-join of linked mentions on (url, sentence_id) —
-co-partitioned, so one shuffle total — a slice/array_join expression
-for the inter-mention phrase, and a broadcast join against the
-pattern dictionary. No Python in the loop.
+Implementation is a SINGLE PASS over linked mentions — no self-join.
+A naive m1 x m2 self-join would execute the (expensive) upstream NER
+subtree twice, since Spark does not share common subplans across the
+two join inputs. Instead: groupBy (url, sentence_id) collecting the
+<=marker_max mentions of a sentence into an array, expand ordered
+pairs with higher-order array expressions (codegen, no UDF), then one
+equi-join against sentences for the token array and one broadcast
+join against the pattern dictionary.
 
-Skew note: sentences have <= ~30 mentions, so the per-key pair
-blow-up is bounded; page-level skew is handled upstream by the
-url-hash repartition.
+Skew note: mentions per sentence are bounded (decode emits
+non-overlapping spans, so <= num_words/1), keeping the pair expansion
+per-row bounded; page-level skew is handled upstream by the url-hash
+partitioning, and the groupBy key (url, sentence_id) is fine-grained.
 """
 
 from __future__ import annotations
@@ -30,32 +35,33 @@ def extract_relations(
     pat = spark.createDataFrame(
         [(k, v) for k, v in patterns.items()], "phrase string, pred string"
     )
-    m = linked.filter(F.col("entity_id").isNotNull()).select(
-        "url", "sentence_id", "entity_id", "word_start_index", "word_end_index"
+    grouped = (
+        linked.filter(F.col("entity_id").isNotNull())
+        .groupBy("url", "sentence_id")
+        .agg(
+            F.collect_list(
+                F.struct("entity_id", "word_start_index", "word_end_index")
+            ).alias("ms")
+        )
     )
-    m1 = m.alias("m1")
-    m2 = m.alias("m2")
-    pairs = m1.join(
-        m2,
-        (F.col("m1.url") == F.col("m2.url"))
-        & (F.col("m1.sentence_id") == F.col("m2.sentence_id"))
-        & (F.col("m1.word_end_index") <= F.col("m2.word_start_index")),
-    ).select(
-        F.col("m1.url").alias("url"),
-        F.col("m1.sentence_id").alias("sentence_id"),
-        F.col("m1.entity_id").alias("subj"),
-        F.col("m2.entity_id").alias("obj"),
-        F.col("m1.word_end_index").alias("gap_start"),
-        (F.col("m2.word_start_index") - F.col("m1.word_end_index")).alias("gap_len"),
+    # ordered-pair expansion in pure array expressions
+    pairs_expr = F.expr(
+        "flatten(transform(ms, m1 -> "
+        " transform(filter(ms, m2 -> m1.word_end_index <= m2.word_start_index), "
+        "  m2 -> struct(m1.entity_id as subj, m2.entity_id as obj, "
+        "              m1.word_end_index as gap_start, "
+        "              m2.word_start_index - m1.word_end_index as gap_len))))"
+    )
+    pairs = (
+        grouped.withColumn("pair", F.explode(pairs_expr))
+        .select("url", "sentence_id", "pair.*")
     )
     toks = sentences.select("url", "sentence_id", "tokens")
     phrased = (
         pairs.join(toks, ["url", "sentence_id"])
         .withColumn(
             "phrase",
-            F.array_join(
-                F.expr("slice(tokens, gap_start + 1, gap_len)"), " "
-            ),
+            F.array_join(F.expr("slice(tokens, gap_start + 1, gap_len)"), " "),
         )
         .drop("tokens")
     )

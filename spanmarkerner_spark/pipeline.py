@@ -50,6 +50,7 @@ def run_pipeline(
     num_partitions: int | None = None,
     use_extracted: bool = True,
     canonicalize: bool = False,
+    persist_stages: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns the named intermediate tables; 'triples' is the output.
 
@@ -82,8 +83,16 @@ def run_pipeline(
         # repartition destroys the window sort; re-sort within partitions
         sentences = sentences.sortWithinPartitions("url", "sentence_id")
 
+    if persist_stages:
+        # sentences feed both the NER chain and the relations token
+        # join — persist the diamond point (at cluster scale this is a
+        # written stage table; see plans/lineage.py)
+        sentences = sentences.persist()
+
     mentions = ner_mentions(sentences, cfg, gaz)
     linked = link_mentions(mentions, alias_df)
+    if persist_stages:
+        linked = linked.persist()
 
     if canonicalize:
         # alias-overlap edges: entities sharing a surface form

@@ -44,6 +44,9 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # one BLAS thread per python worker — N workers already saturate
+    # the cores; nested BLAS threading only adds contention
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = f"local[{cores}]"
