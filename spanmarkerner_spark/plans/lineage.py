@@ -1,0 +1,96 @@
+"""Checkpoint-resume via per-partition lineage (north_rule).
+
+Every stage table is written partitioned by a stable bucket of the
+page url (partition_key = pmod(xxhash64(url), n_buckets)). After a
+partition's data is written, one lineage row (stage, partition_key,
+rows_out, run_id) is appended. Resume = left_anti join of the input's
+partition keys against the lineage table for that stage — only
+unprocessed buckets are recomputed, and re-writing a bucket is
+idempotent because the writer targets exactly that bucket's directory
+(dynamic partition overwrite).
+
+At cluster scale the same layout maps 1:1 to Iceberg: partition
+transform bucket(url, n), lineage as a snapshot-tagged metadata
+table, overwrite-by-filter for idempotent re-runs. Parquet +
+directory partitions are the sandbox stand-in (no Iceberg jars in
+this container — SURVEY.md S1/S5 note).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spanmarkerner_spark import schemas
+
+N_BUCKETS_DEFAULT = 64
+
+
+def with_partition_key(df: DataFrame, key_col: str = "url",
+                       n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
+    return df.withColumn(
+        "partition_key", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+    )
+
+
+def lineage_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_lineage")
+
+
+def read_lineage(spark: SparkSession, base_dir: str) -> DataFrame:
+    path = lineage_path(base_dir)
+    try:
+        return spark.read.schema(schemas.LINEAGE).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema=schemas.LINEAGE)
+
+
+def pending_partitions(
+    keyed_input: DataFrame, spark: SparkSession, base_dir: str, stage: str
+) -> DataFrame:
+    """Filter the keyed input to partitions with no lineage row for
+    this stage — the exactly-once-per-partition resume join."""
+    done = (
+        read_lineage(spark, base_dir)
+        .filter(F.col("stage") == stage)
+        .select("partition_key")
+        .distinct()
+    )
+    return keyed_input.join(F.broadcast(done), "partition_key", "left_anti")
+
+
+def write_stage(
+    df: DataFrame,
+    base_dir: str,
+    stage: str,
+    run_id: str,
+    key_col: str = "url",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> None:
+    """Write df as the stage table partitioned by partition_key with
+    dynamic partition overwrite (idempotent per bucket), then record
+    lineage rows (one per written partition)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    keyed = with_partition_key(df, key_col, n_buckets)
+    out = os.path.join(base_dir, stage)
+    keyed.write.mode("overwrite").partitionBy("partition_key").parquet(out)
+    # lineage from what actually landed (read-back = write-audit too)
+    written = spark.read.parquet(out)
+    lin = (
+        written.groupBy("partition_key")
+        .agg(F.count(F.lit(1)).alias("rows_out"))
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("partition_key"),
+            F.col("rows_out"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    lin.write.mode("append").parquet(lineage_path(base_dir))
+
+
+def read_stage(spark: SparkSession, base_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(base_dir, stage))

@@ -1,0 +1,73 @@
+"""Incremental ingest with Structured Streaming.
+
+The reference is strictly batch (SURVEY.md §2.9); the KG engine adds
+incremental behavior two ways:
+
+1. batch checkpoint-resume over partition lineage (plans/lineage.py) —
+   the north_rule mechanism;
+2. this module: a file-source stream over a pages directory with
+   Trigger.AvailableNow, running the full pipeline per micro-batch in
+   foreachBatch (exactly-once via the streaming checkpoint + the
+   idempotent per-bucket writes of write_stage).
+
+Also provides a watermarked windowed aggregation over the events
+table — the standard late-data streaming operator — used by tests and
+the driver query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spanmarkerner_spark import schemas
+from spanmarkerner_spark.pipeline import run_pipeline
+
+
+def stream_pages_to_triples(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **pipeline_kwargs,
+):
+    """Start an AvailableNow stream: new page files -> triples parquet.
+    Returns the StreamingQuery (caller awaits termination)."""
+    pages = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(pages_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        res = run_pipeline(batch_df, persist_stages=True, **pipeline_kwargs)
+        res["triples"].write.mode("append").parquet(out_dir)
+
+    return (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event_type.
+    Works identically over a batch or streaming events DataFrame."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    base = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return base.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )

@@ -1,0 +1,322 @@
+"""Unit tests: dedup, similarity, multimodal plumbing, metrics,
+doc-context, lineage resume, streaming ingest."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spanmarkerner_spark.config import KG_LABELS, SpanMarkerConfig
+
+
+# ---------------- dedup ----------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "The quick  brown fox jumps over the lazy dog"),         # ws/case dup of 0
+        (3, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (4, "completely different text about spark engines at scale"),
+        (5, "another unrelated document mentioning nothing similar"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    from spanmarkerner_spark.operators.dedup import exact_duplicates
+
+    got = {r["doc_id"]: (r["canonical_id"], r["dup_count"])
+           for r in exact_duplicates(docs).collect()}
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
+    assert got[4] == (4, 1)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from spanmarkerner_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    from spanmarkerner_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert (0, 3) in rows and rows[(0, 3)] < 1.0
+
+
+def test_simhash_similarity(spark, docs):
+    from spanmarkerner_spark.operators.dedup import simhash64
+
+    sigs = {r["doc_id"]: r["sig"] for r in
+            docs.select("doc_id", simhash64(F.col("text")).alias("sig")).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]
+    ham = bin(sigs[0] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[4]).count("1")
+    assert ham < ham_far
+
+
+def test_embedding_near_dup(spark):
+    from spanmarkerner_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.2]),
+        (1, [0.99, 0.01, 0.5, 0.2]),   # ~same direction
+        (2, [-1.0, 0.3, -0.5, 0.1]),   # different bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+# ---------------- similarity search ----------------
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+    from spanmarkerner_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    corpus = rng.randn(50, 8).astype(float)
+    cdf = spark.createDataFrame(
+        [(i, corpus[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(0, corpus[7].tolist()), (1, corpus[21].tolist())],
+        "query_id long, embedding array<double>",
+    )
+    got = brute_force_topk(cdf, qdf, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    # numpy oracle
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    for qid, qv in [(0, corpus[7]), (1, corpus[21])]:
+        sims = sorted(
+            ((round(cos(qv, corpus[i]), 6), -i) for i in range(50)), reverse=True
+        )[:3]
+        expect = [(-i, s) for s, i in sims]
+        got_q = [(nid, c) for _, nid, c in sorted(by_q[qid])]
+        assert got_q == expect
+        assert got_q[0][0] in (7, 21)  # self is nearest
+        assert math.isclose(got_q[0][1], 1.0, abs_tol=1e-5)
+
+
+def test_ivf_topk_self_recall(spark):
+    import numpy as np
+    from spanmarkerner_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(4)
+    corpus = rng.randn(80, 8).astype(float)
+    cdf = spark.createDataFrame(
+        [(i, corpus[i].tolist()) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(0, corpus[11].tolist())], "query_id long, embedding array<double>"
+    )
+    got = ivf_topk(cdf, qdf, k=1).collect()
+    assert got[0]["neighbor_id"] == 11  # same bucket by construction
+
+
+# ---------------- multimodal plumbing ----------------
+
+def test_multimodal_features_and_frames(spark):
+    from spanmarkerner_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic across runs
+    feats2 = extract_features(media, dim=8).collect()
+    assert {(r["media_id"], tuple(r["feature"])) for r in feats} == {
+        (r["media_id"], tuple(r["feature"])) for r in feats2
+    }
+    frames = frame_sample(media, every_ms=500)
+    one = frames.filter(F.col("media_id") == 2).count()
+    dur = media.filter(F.col("media_id") == 2).collect()[0]["duration_ms"]
+    assert one == dur // 500 + 1
+
+
+def test_real_decode_is_stubbed():
+    from spanmarkerner_spark.operators.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image")
+
+
+# ---------------- metrics ----------------
+
+def test_seqeval_f1(spark):
+    from spanmarkerner_spark.operators.metrics import seqeval_f1
+
+    gold = spark.createDataFrame(
+        [(1, "PER", 0, 2), (1, "LOC", 3, 4), (2, "ORG", 0, 1)],
+        "sentence_key int, label string, word_start int, word_end int",
+    )
+    pred = spark.createDataFrame(
+        [(1, "PER", 0, 2), (1, "LOC", 3, 5), (2, "ORG", 0, 1), (2, "PER", 2, 3)],
+        "sentence_key int, label string, word_start int, word_end int",
+    )
+    per_label, overall = seqeval_f1(gold, pred)
+    o = overall.collect()[0]
+    assert o["tp"] == 2 and o["fp"] == 2 and o["fn"] == 1
+    assert math.isclose(o["precision"], 0.5)
+    assert math.isclose(o["recall"], 2 / 3, rel_tol=1e-5)
+    pl = {r["label"]: r for r in per_label.collect()}
+    assert pl["PER"]["tp"] == 1 and pl["PER"]["fp"] == 1 and pl["PER"]["fn"] == 0
+
+
+def test_entity_tracker_histogram(spark):
+    from spanmarkerner_spark.operators.metrics import entity_tracker_histogram
+
+    gold = spark.createDataFrame(
+        [(1, "PER", 0, 2), (1, "LOC", 3, 4), (2, "ORG", 0, 3)],
+        "k int, label string, word_start int, word_end int",
+    )
+    kept = spark.createDataFrame(
+        [(1, "PER", 0, 2)],
+        "k int, label string, word_start int, word_end int",
+    )
+    hist = {r["span_length"]: r["missed"] for r in
+            entity_tracker_histogram(gold, kept, ["k"]).collect()}
+    assert hist == {1: 1, 3: 1}
+
+
+def test_dataset_statistics_and_widget(spark):
+    from spanmarkerner_spark.operators.metrics import (
+        dataset_statistics,
+        widget_examples,
+    )
+
+    fixture = spark.createDataFrame(
+        [
+            (["a", "b", "c"], [(1, 0, 1)]),
+            (["d", "e"], [(1, 0, 1), (2, 1, 2)]),
+        ],
+        "tokens array<string>, entities array<struct<label_id:int,word_start:int,word_end:int>>",
+    )
+    stats = dataset_statistics(fixture).collect()[0]
+    assert stats["min_words"] == 2 and stats["max_words"] == 3
+    assert math.isclose(stats["avg_entities"], 1.5)
+    top = widget_examples(fixture, k=1).collect()[0]
+    assert top["uniq_labels"] == 2
+
+
+# ---------------- doc-context (W1) ----------------
+
+def test_context_merge_budget():
+    from spanmarkerner_spark.operators.context import context_merge
+
+    own = [1, 10, 11, 2]
+    prevs = [[1, 20, 21, 2], [1, 30, 2]]
+    nexts = [[1, 40, 2], [1, 50, 51, 52, 2]]
+    merged, shift = context_merge(own, prevs, nexts, budget=10)
+    # next first (40), then prev (20,21), then next (50,51,52) fits: 4+1+2+3=10
+    assert merged == [1, 20, 21, 10, 11, 40, 50, 51, 52, 2]
+    assert shift == 2
+
+
+def test_add_document_context(spark):
+    from spanmarkerner_spark.config import KG_LABELS
+    from spanmarkerner_spark.datagen import text_to_html
+    from spanmarkerner_spark.functions.text import segment_sentences
+    from spanmarkerner_spark.operators.context import add_document_context
+    from spanmarkerner_spark.operators.ner import tokenize
+    from spanmarkerner_spark import schemas as S
+
+    cfg = SpanMarkerConfig(labels=KG_LABELS)
+    text = "one two . three four . five six"
+    df = spark.createDataFrame(
+        [("u", None, text_to_html(text, "u"), text, "en")], schema=S.PAGES
+    )
+    tok = tokenize(segment_sentences(df), cfg)
+    ctx = add_document_context(tok, cfg, window_size=2)
+    rows = {r["sentence_id"]: r for r in ctx.collect()}
+    base = {r["sentence_id"]: r for r in tok.collect()}
+    # middle sentence gains both neighbors' bodies (2 tokens each)
+    assert len(rows[1]["input_ids"]) == len(base[1]["input_ids"]) + 4
+    # its word alignment shifted by the prepended length
+    shift = rows[1]["word_tok_start"][0] - base[1]["word_tok_start"][0]
+    assert shift == 2
+    # alignment still points at the same token ids
+    for wi in range(2):
+        s = rows[1]["word_tok_start"][wi]
+        assert rows[1]["input_ids"][s] == base[1]["input_ids"][base[1]["word_tok_start"][wi]]
+
+
+# ---------------- lineage / resume ----------------
+
+def test_lineage_resume(spark):
+    from spanmarkerner_spark.plans import lineage as L
+
+    tmp = tempfile.mkdtemp(prefix="lineage_test_")
+    try:
+        df = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(20)], "url string, x int"
+        )
+        L.write_stage(df, tmp, "stage1", "run1", n_buckets=4)
+        keyed = L.with_partition_key(df, n_buckets=4)
+        pend = L.pending_partitions(keyed, spark, tmp, "stage1")
+        assert pend.count() == 0  # everything processed
+        pend2 = L.pending_partitions(keyed, spark, tmp, "stage2")
+        assert pend2.count() == 20  # nothing processed for stage2
+        back = L.read_stage(spark, tmp, "stage1")
+        assert back.count() == 20
+        lin = L.read_lineage(spark, tmp)
+        assert lin.filter("stage = 'stage1'").count() == 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------- streaming ----------------
+
+def test_stream_pages_to_triples(spark):
+    from spanmarkerner_spark import schemas as S
+    from spanmarkerner_spark.datagen import gen_pages
+    from spanmarkerner_spark.streaming.ingest import stream_pages_to_triples
+
+    tmp = tempfile.mkdtemp(prefix="stream_test_")
+    try:
+        rows = gen_pages(20, seed=5)
+        spark.createDataFrame(rows, schema=S.PAGES).write.mode("overwrite").parquet(
+            f"{tmp}/pages"
+        )
+        q = stream_pages_to_triples(
+            spark, f"{tmp}/pages", f"{tmp}/triples", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(f"{tmp}/triples")
+        from spanmarkerner_spark.oracle import run_oracle
+        expected = run_oracle(rows, SpanMarkerConfig(labels=KG_LABELS))["triples"]
+        got = {tuple(r) for r in out.collect()}
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_event_counts_batch(spark):
+    from spanmarkerner_spark.streaming.ingest import windowed_event_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    agg = windowed_event_counts(ev, window="1 hour")
+    assert agg.count() > 0
+    total = agg.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()
