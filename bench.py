@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries + the end-to-end KG pipeline.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "extra": {...}}
+
+The headline metric is end-to-end KG wall seconds; extra carries
+triples/sec and sentences/sec (the north-rule throughput numbers).
+Scaling evidence across parallelism levels is produced by
+bench_scaling.py (separate JVMs per level) and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "j2_broadcast_lookup",
+    "w3_topk_per_group",
+    "events_windowed",
+    "u3_spread",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_brute_topk",
+    "cc_components",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from spanmarkerner_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus)
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    # warm the python workers once (JVM + worker spawn out of the timings)
+    qs["u3_spread"](spark, sf_dir).count()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    # end-to-end KG pipeline (documents-as-pages + synthetic signal pages)
+    from spanmarkerner_spark import schemas
+    from spanmarkerner_spark.datagen import gen_pages
+    from spanmarkerner_spark.pipeline import run_pipeline
+
+    docs_pages = E._docs_as_pages(spark, sf_dir)
+    synth = spark.createDataFrame(gen_pages(2000, seed=42), schema=schemas.PAGES)
+    pages = docs_pages.unionByName(synth)
+    n_pages = pages.count()
+
+    t0 = time.time()
+    res = run_pipeline(pages, use_extracted=False, persist_stages=True)
+    n_triples = res["triples"].count()
+    kg_sec = round(time.time() - t0, 3)
+    # counts from the persisted diamond points — no chain re-execution
+    n_sentences = res["sentences"].count()
+    n_mentions = res["linked"].count()
+    times["kg_e2e"] = kg_sec
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "extra": {
+            "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+            "kg_pages": n_pages,
+            "kg_sentences": n_sentences,
+            "kg_mentions": n_mentions,
+            "kg_triples": n_triples,
+            "kg_sec": kg_sec,
+            "triples_per_sec": round(n_triples / kg_sec, 2) if kg_sec else None,
+            "sentences_per_sec": round(n_sentences / kg_sec, 2) if kg_sec else None,
+            "pages_per_sec": round(n_pages / kg_sec, 2) if kg_sec else None,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

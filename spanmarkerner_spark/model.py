@@ -228,9 +228,11 @@ def score_batch(
     cfg: SpanMarkerConfig,
 ) -> list[tuple[list[int], list[float]]]:
     """Collate + forward + marker-pair classification + softmax
-    (modeling.py:512-530 analogue). Each row dict additionally needs
-    ``span_texts`` (lower-cased surface form per candidate span) for
-    the gazetteer feature. Returns per row: (label_ids, scores)."""
+    (modeling.py:512-530 analogue). Each row dict needs either
+    ``gaz_labels`` (per-span gazetteer label id, -1 = no match —
+    computed JVM-side in the production pipeline) or ``span_texts``
+    (lower-cased surfaces, looked up here — the oracle/test path).
+    Returns per row: (label_ids, scores)."""
     if not rows:
         return []
     c = collate(rows, cfg)
@@ -239,23 +241,34 @@ def score_batch(
     )
     # classify all pairs at once: (B, m_max, 2d) @ (2d, L)
     feats = np.concatenate([h_s, h_e], axis=-1)
-    logits = feats @ encoder.cls_w + encoder.cls_b  # (B, m_max, L)
-    out: list[tuple[list[int], list[float]]] = []
+    logits = (feats @ encoder.cls_w + encoder.cls_b).astype(np.float64)
+
+    B, m_max = c["sp"].shape
+    gaz = np.full((B, m_max), -1, dtype=np.int64)
     for b, row in enumerate(rows):
+        gl = row.get("gaz_labels")
+        if gl is None:
+            gl = [gazetteer.get(t, -1) for t in row["span_texts"]]
+        m = min(len(gl), m_max)
+        if m:
+            gaz[b, :m] = np.asarray(gl[:m], dtype=np.int64)
+    hit = gaz >= 0
+    bi, mi = np.nonzero(hit)
+    logits[bi, mi, gaz[bi, mi]] += GAZ_BONUS
+    bi, mi = np.nonzero(~hit)
+    logits[bi, mi, cfg.outside_id] += OUTSIDE_BONUS
+
+    z = logits - logits.max(axis=-1, keepdims=True)
+    probs = np.exp(z)
+    probs /= probs.sum(axis=-1, keepdims=True)
+    label_ids = probs.argmax(axis=-1)                       # (B, m_max)
+    scores = np.take_along_axis(probs, label_ids[:, :, None], axis=-1)[:, :, 0]
+    out: list[tuple[list[int], list[float]]] = []
+    for b in range(B):
         m = int(c["num_pairs"][b])
-        lg = logits[b, :m].astype(np.float64)
-        for j, text in enumerate(row["span_texts"][:m]):
-            gl = gazetteer.get(text)
-            if gl is not None:
-                lg[j, gl] += GAZ_BONUS
-            else:
-                lg[j, cfg.outside_id] += OUTSIDE_BONUS
-        z = lg - lg.max(axis=-1, keepdims=True)
-        probs = np.exp(z)
-        probs /= probs.sum(axis=-1, keepdims=True)
-        label_ids = probs.argmax(axis=-1)
-        scores = probs[np.arange(len(label_ids)), label_ids]
-        out.append((label_ids.astype(int).tolist(), scores.tolist()))
+        out.append(
+            (label_ids[b, :m].astype(int).tolist(), scores[b, :m].tolist())
+        )
     return out
 
 

@@ -61,20 +61,36 @@ def shingle_tokens(text_col, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(text_col, num_hashes: int = 16, shingle_n: int = 3):
-    """MinHash signature as array<bigint>: for seed k, min over
-    shingles of portable_hash64(k || shingle). Pure expressions."""
-    sh = F.array_distinct(shingle_tokens(text_col, shingle_n))
-    sigs = []
-    for k in range(num_hashes):
-        hashed = F.transform(
-            sh,
-            lambda s: F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{k}|"), s)), 1, 15), 16, 10
-            ).cast("long"),
+def minhash_signature_from(sh_col, num_hashes: int = 16):
+    """MinHash signature as array<bigint> from a distinct-shingle array
+    column: for seed k, min over shingles of portable_hash64(k ||
+    shingle). ONE aggregate pass over the shingles computing all k
+    mins together — the shingle column is referenced exactly once, so
+    Catalyst project-collapsing can never duplicate the (expensive)
+    shingle construction into per-hash copies."""
+
+    def step(acc, s):
+        hashes = F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{k}|"), s)), 1, 15), 16, 10
+                ).cast("long")
+                for k in range(num_hashes)
+            ]
         )
-        sigs.append(F.array_min(hashed))
-    return F.array(*sigs)
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    init = F.array_repeat(F.lit(2 ** 62).cast("long"), num_hashes)
+    return F.aggregate(sh_col, init, step)
+
+
+def minhash_signature(text_col, num_hashes: int = 16, shingle_n: int = 3):
+    """MinHash signature computed directly from text (convenience —
+    prefer materializing the shingle column once and using
+    minhash_signature_from in multi-use plans)."""
+    return minhash_signature_from(
+        F.array_distinct(shingle_tokens(text_col, shingle_n)), num_hashes
+    )
 
 
 def minhash_lsh_pairs(
@@ -98,11 +114,14 @@ def minhash_lsh_pairs(
     better handled by exact dedup upstream.
     """
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    ).filter(F.size("sh") > 0)
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature_from(F.col("sh"), num_hashes))
+    )
 
     banded = base.select(
         "id",
@@ -140,8 +159,9 @@ def minhash_lsh_pairs(
 def simhash64(text_col):
     """64-bit SimHash over whitespace tokens: bit i of the signature is
     the majority vote of bit i across per-token 60-bit hashes.
-    Higher-order expressions only (shift via integer division — Spark
-    and DuckDB agree on floor division semantics for positives)."""
+    Higher-order expressions only; bit extraction uses shiftright
+    (integer) — NOT `/`, which is double division in Spark and mangles
+    the low bits of 60-bit hashes past the 53-bit mantissa."""
     toks = F.split(_norm_text(text_col), " ")
     th = F.transform(
         toks,
@@ -150,7 +170,7 @@ def simhash64(text_col):
     bits = []
     for i in range(60):
         ones = F.size(
-            F.filter(th, lambda h: ((h / F.lit(2 ** i)).cast("long") % 2) == 1)
+            F.filter(th, lambda h: (F.shiftright(h, i) % 2) == 1)
         )
         bits.append(
             F.when(ones * 2 >= F.size(th), F.lit(2 ** i).cast("long")).otherwise(

@@ -93,7 +93,15 @@ def tokenize(sentences: DataFrame, cfg: SpanMarkerConfig) -> DataFrame:
 # pure codegen expressions, no Python
 # -------------------------------------------------------------------
 
-def enumerate_and_spread(tokenized: DataFrame, cfg: SpanMarkerConfig) -> DataFrame:
+def enumerate_and_spread(
+    tokenized: DataFrame,
+    cfg: SpanMarkerConfig,
+    gazetteer: dict[str, int] | None = None,
+) -> DataFrame:
+    """When a gazetteer is given, each chunk also gets a ``gaz_labels``
+    int array (label id per candidate span, -1 = no match) computed
+    with a JVM map literal — keeping the ~O(spans) string work in
+    codegen instead of Python (it dominated the scoring stage)."""
     L = cfg.entity_max_length
     total = cfg.total_size
     mml = cfg.marker_max_length
@@ -122,7 +130,7 @@ def enumerate_and_spread(tokenized: DataFrame, cfg: SpanMarkerConfig) -> DataFra
     # (trainer.py:368-405 semantics, as a pure explode)
     df = df.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.col("_chunks") - 1)))
     sl = "slice(_spans, chunk * _space + 1, _space)"
-    return (
+    df = (
         df.withColumn("_chunk_spans", F.expr(sl))
         .withColumn("span_starts", F.expr("transform(_chunk_spans, p -> p.s)"))
         .withColumn("span_ends", F.expr("transform(_chunk_spans, p -> p.e)"))
@@ -134,8 +142,19 @@ def enumerate_and_spread(tokenized: DataFrame, cfg: SpanMarkerConfig) -> DataFra
             "end_position_ids",
             F.expr("transform(_chunk_spans, p -> element_at(word_tok_end, p.e))"),
         )
-        .drop("_spans", "_space", "_chunks", "_chunk_spans")
     )
+    if gazetteer:
+        gaz_map = F.create_map(
+            *[F.lit(x) for kv in gazetteer.items() for x in kv]
+        )
+        df = df.withColumn("_gazmap", gaz_map).withColumn(
+            "gaz_labels",
+            F.expr(
+                "transform(_chunk_spans, p -> coalesce(element_at(_gazmap, "
+                "lower(array_join(slice(tokens, p.s + 1, p.e - p.s), ' '))), -1))"
+            ),
+        ).drop("_gazmap")
+    return df.drop("_spans", "_space", "_chunks", "_chunk_spans")
 
 
 # -------------------------------------------------------------------
@@ -145,30 +164,25 @@ def enumerate_and_spread(tokenized: DataFrame, cfg: SpanMarkerConfig) -> DataFra
 def score_spans(
     spread: DataFrame, cfg: SpanMarkerConfig, gazetteer: dict[str, int]
 ) -> DataFrame:
-    gaz = dict(gazetteer)  # small (broadcast-in-closure); weights built per worker
+    gaz = dict(gazetteer)  # only the oracle fallback path uses this
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enc = _get_encoder(cfg)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows = []
-            for toks, iids, sp, ep, ss, se in zip(
-                pdf["tokens"], pdf["input_ids"], pdf["start_position_ids"],
-                pdf["end_position_ids"], pdf["span_starts"], pdf["span_ends"],
-            ):
-                toks = list(toks)
-                rows.append(
-                    {
-                        "input_ids": list(iids),
-                        "start_position_ids": list(sp),
-                        "end_position_ids": list(ep),
-                        "span_texts": [
-                            " ".join(toks[s:e]).lower()
-                            for s, e in zip(ss, se)
-                        ],
-                    }
+            rows = [
+                {
+                    "input_ids": iids,
+                    "start_position_ids": sp,
+                    "end_position_ids": ep,
+                    "gaz_labels": gl,
+                }
+                for iids, sp, ep, gl in zip(
+                    pdf["input_ids"], pdf["start_position_ids"],
+                    pdf["end_position_ids"], pdf["gaz_labels"],
                 )
+            ]
             scored = score_batch(enc, rows, gaz, cfg)
             yield pd.DataFrame(
                 {
@@ -189,8 +203,8 @@ def score_spans(
     cols = [
         "url", "sentence_id", "chunk", "tokens", "input_ids",
         "span_starts", "span_ends", "start_position_ids",
-        "end_position_ids", "word_char_start", "word_char_end",
-        "char_offset",
+        "end_position_ids", "gaz_labels", "word_char_start",
+        "word_char_end", "char_offset",
     ]
     return spread.select(cols).mapInPandas(fn, schema=schemas.SCORED)
 
@@ -199,21 +213,30 @@ def score_spans(
 # U6 / W3: greedy non-overlap decode
 # -------------------------------------------------------------------
 
-def _decode_sentence(rows: list[dict], cfg: SpanMarkerConfig) -> list[dict]:
-    """Merge a sentence's chunks, greedy-select, emit mention dicts."""
-    first = rows[0]
+_DECODE_COLS = [
+    "url", "sentence_id", "span_starts", "span_ends", "label_ids",
+    "scores", "tokens", "word_char_start", "word_char_end", "char_offset",
+]
+
+
+def _decode_sentence(rows: list[tuple], cfg: SpanMarkerConfig) -> list[dict]:
+    """Merge a sentence's chunks (tuples in _DECODE_COLS order),
+    greedy-select, emit mention dicts."""
+    url, sid = rows[0][0], rows[0][1]
     cand: list[tuple[int, int, int, float]] = []
     for r in rows:
-        cand.extend(zip(r["span_starts"], r["span_ends"], r["label_ids"], r["scores"]))
+        cand.extend(zip(r[2], r[3], r[4], r[5]))
     kept = greedy_decode(cand, cfg.outside_id)
-    toks = list(first["tokens"])
-    wcs, wce, off = list(first["word_char_start"]), list(first["word_char_end"]), first["char_offset"]
+    if not kept:
+        return []
+    toks = list(rows[0][6])
+    wcs, wce, off = rows[0][7], rows[0][8], rows[0][9]
     out = []
     for s, e, lab, sc in kept:
         out.append(
             {
-                "url": first["url"],
-                "sentence_id": int(first["sentence_id"]),
+                "url": url,
+                "sentence_id": int(sid),
                 "span": " ".join(toks[s:e]),
                 "label": cfg.reduced_labels[lab],
                 "score": float(sc),
@@ -234,26 +257,30 @@ def decode_mentions(scored: DataFrame, cfg: SpanMarkerConfig) -> DataFrame:
     hazard handled by the carry buffer)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: list[dict] = []
+        buf: list[tuple] = []
         key: tuple | None = None
         pending: list[dict] = []
         for pdf in batches:
-            for row in pdf.to_dict("records"):
-                k = (row["url"], row["sentence_id"])
+            cols = [pdf[c].to_numpy() for c in _DECODE_COLS]
+            for row in zip(*cols):
+                k = (row[0], row[1])
                 if k != key and buf:
                     pending.extend(_decode_sentence(buf, cfg))
                     buf = []
                 key = k
                 buf.append(row)
             if pending:
-                yield pd.DataFrame(pending)
+                yield pd.DataFrame(pending, columns=_MENTION_COLS)
                 pending = []
         if buf:
             pending.extend(_decode_sentence(buf, cfg))
         if pending:
-            yield pd.DataFrame(pending)
+            yield pd.DataFrame(pending, columns=_MENTION_COLS)
 
     return scored.mapInPandas(fn, schema=schemas.MENTIONS)
+
+
+_MENTION_COLS = [f.name for f in schemas.MENTIONS.fields]
 
 
 def decode_mentions_shuffle(scored: DataFrame, cfg: SpanMarkerConfig) -> DataFrame:
@@ -262,10 +289,8 @@ def decode_mentions_shuffle(scored: DataFrame, cfg: SpanMarkerConfig) -> DataFra
     read back from an unsorted table)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            _decode_sentence(pdf.to_dict("records"), cfg),
-            columns=[f.name for f in schemas.MENTIONS.fields],
-        )
+        rows = list(zip(*[pdf[c].to_numpy() for c in _DECODE_COLS]))
+        return pd.DataFrame(_decode_sentence(rows, cfg), columns=_MENTION_COLS)
 
     return scored.groupBy("url", "sentence_id").applyInPandas(
         fn, schema=schemas.MENTIONS
@@ -280,7 +305,7 @@ def ner_mentions(
 ) -> DataFrame:
     """sentences -> mentions, the full U2..U6 chain."""
     tok = tokenize(sentences, cfg)
-    spread = enumerate_and_spread(tok, cfg)
+    spread = enumerate_and_spread(tok, cfg, gazetteer)
     scored = score_spans(spread, cfg, gazetteer)
     if narrow_decode:
         return decode_mentions(scored, cfg)

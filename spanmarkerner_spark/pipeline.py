@@ -75,23 +75,28 @@ def run_pipeline(
         text_col = "text"
 
     sentences = segment_sentences(pages, text_col=text_col)
+    if num_partitions is None:
+        # AQE coalesces the (byte-small) sentence shuffle down to 1-2
+        # partitions, serializing the compute-dense UDF chain — pin the
+        # parallelism explicitly (explicit repartition is exempt from
+        # AQE coalescing). Page text bytes vastly underestimate the
+        # O(words * entity_max_length) scoring work per row.
+        num_partitions = spark.sparkContext.defaultParallelism
     if num_partitions:
         # the single deliberate shuffle: co-locate a page's sentences
         sentences = sentences.repartition(num_partitions, "url")
-        from pyspark.sql import Window
-
-        # repartition destroys the window sort; re-sort within partitions
+        # repartition destroys the window sort; re-sort within
+        # partitions (narrow decode needs per-sentence adjacency)
         sentences = sentences.sortWithinPartitions("url", "sentence_id")
-
-    if persist_stages:
-        # sentences feed both the NER chain and the relations token
-        # join — persist the diamond point (at cluster scale this is a
-        # written stage table; see plans/lineage.py)
-        sentences = sentences.persist()
 
     mentions = ner_mentions(sentences, cfg, gaz)
     linked = link_mentions(mentions, alias_df)
     if persist_stages:
+        # persist ONLY the post-NER diamond point. Do NOT persist
+        # sentences: an InMemoryTableScan feeding mapInPandas degrades
+        # the Arrow batch granularity and measured 2-18x slower than
+        # recomputing the (cheap, codegen'd) segmentation; relations
+        # re-derives sentence tokens instead.
         linked = linked.persist()
 
     if canonicalize:

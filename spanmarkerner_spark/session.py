@@ -47,6 +47,10 @@ def get_spark(
     # one BLAS thread per python worker — N workers already saturate
     # the cores; nested BLAS threading only adds contention
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    # NOTE: do NOT pin MALLOC_MMAP_THRESHOLD_/TRIM_THRESHOLD_ — glibc's
+    # dynamic mmap-threshold adaptation already migrates the scorer's
+    # repeated multi-MB temporaries into the heap; overriding it was
+    # measured 3-30x WORSE in kernel time under 32 workers.
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = f"local[{cores}]"
@@ -57,7 +61,13 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # byte-based post-shuffle coalescing is wrong for this engine:
+        # the Arrow-UDF stages do ~1000x more compute per byte than
+        # typical SQL, so AQE collapses the (byte-small) sentence
+        # shuffle to a handful of partitions and serializes the NER
+        # chain (measured: 32-core run at 10% CPU). Skew-join splitting
+        # stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,108 @@
+"""Mirror of the driver's correctness gate: run every queries() entry
+and compare against its oracle_sql() through DuckDB — row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(val):
+    if val is None:
+        return None
+    if isinstance(val, float):
+        return round(val, 6)
+    try:
+        import decimal
+
+        if isinstance(val, decimal.Decimal):
+            return round(float(val), 6)
+    except Exception:
+        pass
+    return val
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = [tuple(_normalize(r[i]) for i in idx) for r in rows]
+    # None-safe total order (rollup/outer-join rows contain nulls)
+    normed.sort(key=lambda r: tuple((v is None, str(v)) for v in r))
+    return normed, [cols[i] for i in idx]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = _duck(SF_DIR)
+    yield con
+    con.close()
+
+
+ORACLED = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    s_set, _ = _rowset(scols, srows)
+    d_set, _ = _rowset(dcols, drows)
+    assert len(s_set) == len(d_set), f"{name}: rowcount {len(s_set)} vs {len(d_set)}"
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if not _rows_equal(a, b)
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def _rows_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-6):
+                return False
+        elif x != y:
+            return False
+    return True
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

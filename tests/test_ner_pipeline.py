@@ -105,8 +105,9 @@ def test_narrow_and_shuffle_decode_agree(pages_df, result):
     cfg = SpanMarkerConfig(labels=KG_LABELS)
     pages = with_extracted_text(pages_df)
     sents = segment_sentences(pages, text_col="extracted_text")
+    gaz = gazetteer(cfg)
     scored = score_spans(
-        enumerate_and_spread(tokenize(sents, cfg), cfg), cfg, gazetteer(cfg)
+        enumerate_and_spread(tokenize(sents, cfg), cfg, gaz), cfg, gaz
     )
     shuffled = {
         (r["url"], r["sentence_id"], r["word_start_index"], r["word_end_index"], r["label"])
