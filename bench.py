@@ -60,9 +60,15 @@ def main() -> None:
     from spanmarkerner_spark.datagen import gen_pages
     from spanmarkerner_spark.pipeline import run_pipeline
 
+    # write the union to parquet first: a LocalRelation of synthetic
+    # pages embedded in the plan re-serializes into every stage
+    import tempfile
+
     docs_pages = E._docs_as_pages(spark, sf_dir)
     synth = spark.createDataFrame(gen_pages(2000, seed=42), schema=schemas.PAGES)
-    pages = docs_pages.unionByName(synth)
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    docs_pages.unionByName(synth).write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
     n_pages = pages.count()
 
     t0 = time.time()

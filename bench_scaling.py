@@ -18,7 +18,7 @@ import sys
 #: pages for the scaling measurement — enough work to saturate the
 #: larger parallelism level (at 10k sentences, fixed overheads dominate
 #: and the comparison measures JVM noise, not scaling)
-N_SYNTH_PAGES = 20000
+N_SYNTH_PAGES = 80000
 
 WORKER = r"""
 import json, os, sys, time

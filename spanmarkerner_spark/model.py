@@ -43,6 +43,10 @@ from spanmarkerner_spark.config import SpanMarkerConfig
 from spanmarkerner_spark.subword import END_MARKER_ID, PAD_ID, START_MARKER_ID
 
 GAZ_BONUS = 8.0
+#: longer gazetteer matches outrank their own sub-spans ("acme corp"
+#: must beat "acme"), otherwise greedy decode keeps the fragment and
+#: downstream relation patterns lose adjacency
+GAZ_LEN_BONUS = 2.0
 OUTSIDE_BONUS = 4.0
 DTYPE = np.float32
 
@@ -245,6 +249,7 @@ def score_batch(
 
     B, m_max = c["sp"].shape
     gaz = np.full((B, m_max), -1, dtype=np.int64)
+    lens = np.ones((B, m_max), dtype=np.int64)
     for b, row in enumerate(rows):
         gl = row.get("gaz_labels")
         if gl is None:
@@ -252,9 +257,18 @@ def score_batch(
         m = min(len(gl), m_max)
         if m:
             gaz[b, :m] = np.asarray(gl[:m], dtype=np.int64)
+            sl = row.get("span_lens")
+            if sl is not None:
+                lens[b, :m] = np.asarray(sl[:m], dtype=np.int64)
+            elif "span_texts" in row:
+                lens[b, :m] = [
+                    t.count(" ") + 1 for t in row["span_texts"][:m]
+                ]
     hit = gaz >= 0
     bi, mi = np.nonzero(hit)
-    logits[bi, mi, gaz[bi, mi]] += GAZ_BONUS
+    logits[bi, mi, gaz[bi, mi]] += GAZ_BONUS + GAZ_LEN_BONUS * (
+        lens[bi, mi] - 1
+    )
     bi, mi = np.nonzero(~hit)
     logits[bi, mi, cfg.outside_id] += OUTSIDE_BONUS
 

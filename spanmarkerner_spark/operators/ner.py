@@ -177,10 +177,12 @@ def score_spans(
                     "start_position_ids": sp,
                     "end_position_ids": ep,
                     "gaz_labels": gl,
+                    "span_lens": se - ss,
                 }
-                for iids, sp, ep, gl in zip(
+                for iids, sp, ep, gl, ss, se in zip(
                     pdf["input_ids"], pdf["start_position_ids"],
                     pdf["end_position_ids"], pdf["gaz_labels"],
+                    pdf["span_starts"], pdf["span_ends"],
                 )
             ]
             scored = score_batch(enc, rows, gaz, cfg)
@@ -297,13 +299,122 @@ def decode_mentions_shuffle(scored: DataFrame, cfg: SpanMarkerConfig) -> DataFra
     )
 
 
+def ner_mentions_fused(
+    sentences: DataFrame, cfg: SpanMarkerConfig, gazetteer: dict[str, int]
+) -> DataFrame:
+    """The whole U2..U6 chain in ONE Arrow UDF: tokenize -> enumerate
+    -> chunk over the marker budget -> collate+score -> greedy decode,
+    per Arrow batch of whole sentences.
+
+    Why fused: the staged operators chain three mapInPandas calls that
+    Spark fuses into one STAGE but with one PYTHON WORKER PER UDF per
+    task — at local[32] that is ~96 workers + 32 JVM threads, 4-5x
+    core oversubscription, measured 18x CPU inflation per row. Fused,
+    each task runs exactly one worker and ships (tokens in, mentions
+    out) through Arrow once. This mirrors the reference's own fusion
+    (modeling.py:466-574: one tokenizer call, one scoring loop, decode
+    per sentence). Chunks of a sentence never cross batches here, so
+    decode needs no carry buffer.
+    """
+    from spanmarkerner_spark.subword import enumerate_spans
+
+    gaz = dict(gazetteer)
+    L = cfg.entity_max_length
+    mml = cfg.marker_max_length
+    vocab = cfg.vocab_size
+    model_max = cfg.model_max_length
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = _get_encoder(cfg)
+        for pdf in batches:
+            rows = []
+            meta = []  # (url, sid, words, e, spans) per chunk row
+            for url, sid, toks, off in zip(
+                pdf["url"], pdf["sentence_id"], pdf["tokens"], pdf["char_offset"]
+            ):
+                words = list(toks)
+                e = encode_words(words, vocab, model_max)
+                nw = e["num_words"]
+                if nw == 0:
+                    continue
+                words = words[:nw]
+                spans = enumerate_spans(nw, L)
+                space = min(mml, (cfg.total_size - len(e["input_ids"])) // 2)
+                for c0 in range(0, len(spans), space):
+                    chunk = spans[c0 : c0 + space]
+                    rows.append(
+                        {
+                            "input_ids": e["input_ids"],
+                            "start_position_ids": [
+                                e["word_tok_start"][s] for s, _ in chunk
+                            ],
+                            "end_position_ids": [
+                                e["word_tok_end"][x - 1] for _, x in chunk
+                            ],
+                            "gaz_labels": [
+                                gaz.get(" ".join(words[s:x]).lower(), -1)
+                                for s, x in chunk
+                            ],
+                            "span_lens": [x - s for s, x in chunk],
+                        }
+                    )
+                    meta.append((url, int(sid), words, e, chunk, int(off)))
+            if not rows:
+                continue
+            # bound collate width: an Arrow batch of long pages can
+            # expand to thousands of chunk rows; score in sub-batches
+            # so temporaries stay cache-friendly
+            scored = []
+            for c0 in range(0, len(rows), 1024):
+                scored.extend(score_batch(enc, rows[c0 : c0 + 1024], gaz, cfg))
+            # regroup chunks per sentence (adjacent by construction)
+            out: list[dict] = []
+            i = 0
+            while i < len(meta):
+                url, sid, words, e, _, off = meta[i]
+                cand: list[tuple[int, int, int, float]] = []
+                j = i
+                while j < len(meta) and meta[j][0] == url and meta[j][1] == sid:
+                    labels, scores = scored[j]
+                    cand.extend(
+                        (s, x, l, sc)
+                        for (s, x), l, sc in zip(meta[j][4], labels, scores)
+                    )
+                    j += 1
+                for s, x, lab, sc in greedy_decode(cand, cfg.outside_id):
+                    out.append(
+                        {
+                            "url": url,
+                            "sentence_id": sid,
+                            "span": " ".join(words[s:x]),
+                            "label": cfg.reduced_labels[lab],
+                            "score": float(sc),
+                            "word_start_index": int(s),
+                            "word_end_index": int(x),
+                            "char_start_index": off + e["word_char_start"][s],
+                            "char_end_index": off + e["word_char_end"][x - 1],
+                        }
+                    )
+                i = j
+            if out:
+                yield pd.DataFrame(out, columns=_MENTION_COLS)
+
+    cols = ["url", "sentence_id", "tokens", "char_offset"]
+    return sentences.select(cols).mapInPandas(fn, schema=schemas.MENTIONS)
+
+
 def ner_mentions(
     sentences: DataFrame,
     cfg: SpanMarkerConfig,
     gazetteer: dict[str, int],
     narrow_decode: bool = True,
+    fused: bool = True,
 ) -> DataFrame:
-    """sentences -> mentions, the full U2..U6 chain."""
+    """sentences -> mentions, the full U2..U6 chain. fused=True (the
+    production path) runs one UDF; fused=False runs the staged
+    operators (used by tests to pin stage semantics)."""
+    if fused:
+        return ner_mentions_fused(sentences, cfg, gazetteer)
     tok = tokenize(sentences, cfg)
     spread = enumerate_and_spread(tok, cfg, gazetteer)
     scored = score_spans(spread, cfg, gazetteer)

@@ -82,6 +82,14 @@ def run_pipeline(
         # AQE coalescing). Page text bytes vastly underestimate the
         # O(words * entity_max_length) scoring work per row.
         num_partitions = spark.sparkContext.defaultParallelism
+        if spark.sparkContext.master.startswith("local"):
+            # in local mode every UDF task is a JVM thread + a python
+            # worker PAIR on the same box; running cores-many tasks
+            # doubles the active thread count and measured 2-6x WORSE
+            # (37.8s @ 16 parts vs 185s @ 32 parts on local[32]).
+            # Cluster executors size python workers into executor
+            # cores, so this cap is local-only.
+            num_partitions = max(4, num_partitions // 2)
     if num_partitions:
         # the single deliberate shuffle: co-locate a page's sentences
         sentences = sentences.repartition(num_partitions, "url")

@@ -47,10 +47,15 @@ def get_spark(
     # one BLAS thread per python worker — N workers already saturate
     # the cores; nested BLAS threading only adds contention
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
-    # NOTE: do NOT pin MALLOC_MMAP_THRESHOLD_/TRIM_THRESHOLD_ — glibc's
-    # dynamic mmap-threshold adaptation already migrates the scorer's
-    # repeated multi-MB temporaries into the heap; overriding it was
-    # measured 3-30x WORSE in kernel time under 32 workers.
+    # route the scorer's multi-MB numpy temporaries through a brk heap
+    # that never shrinks: with default glibc, every batch re-mmaps and
+    # re-faults ~40MB (and under 32 workers those faults contend on
+    # cgroup page-charging — measured 7-8s sys per worker). MMAP_MAX=0
+    # + a high trim threshold cut minor faults 10x and zeroed sys time
+    # (do NOT set MMAP_THRESHOLD_ instead — measured worse: it keeps
+    # trim-at-top refaulting alive).
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 << 20))
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = f"local[{cores}]"

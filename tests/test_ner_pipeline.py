@@ -160,3 +160,21 @@ def test_greedy_decode_tiebreak_deterministic():
     spans = [(2, 4, 1, 0.5), (0, 2, 1, 0.5), (1, 3, 2, 0.5)]
     # equal scores -> earlier start wins first, overlapping (1,3) dropped
     assert greedy_decode(spans, 0) == [(0, 2, 1, 0.5), (2, 4, 1, 0.5)]
+
+
+def test_fused_matches_staged(pages_df):
+    from spanmarkerner_spark.datagen import gazetteer
+    from spanmarkerner_spark.operators.ner import ner_mentions
+
+    cfg = SpanMarkerConfig(labels=KG_LABELS)
+    gaz = gazetteer(cfg)
+    pages = with_extracted_text(pages_df)
+    sents = segment_sentences(pages, text_col="extracted_text")
+    key = lambda r: (  # noqa: E731
+        r["url"], r["sentence_id"], r["word_start_index"],
+        r["word_end_index"], r["label"], round(r["score"], 9),
+        r["char_start_index"], r["char_end_index"], r["span"],
+    )
+    fused = {key(r) for r in ner_mentions(sents, cfg, gaz, fused=True).collect()}
+    staged = {key(r) for r in ner_mentions(sents, cfg, gaz, fused=False).collect()}
+    assert fused == staged
