@@ -401,6 +401,30 @@ def a6_prf_metrics(spark, sf_dir):
     )
 
 
+@_q(
+    "a4_label_examples",
+    """
+    SELECT event_type,
+           array_to_string(list_slice(list_sort(list_distinct(list(props))), 1, 3), '|')
+             AS examples
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_label_examples(spark, sf_dir):
+    """A4 (model_card.py:318-334): k distinct example surface forms
+    per label, deterministic (lexicographic) instead of first-seen."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.array_distinct(F.collect_list("props"))), 1, 3),
+                "|",
+            ).alias("examples")
+        )
+    )
+
+
 # ---- set ops ----------------------------------------------------------
 
 @_q(

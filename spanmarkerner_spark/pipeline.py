@@ -51,6 +51,7 @@ def run_pipeline(
     use_extracted: bool = True,
     canonicalize: bool = False,
     persist_stages: bool = False,
+    gaz: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Returns the named intermediate tables; 'triples' is the output.
 
@@ -63,7 +64,7 @@ def run_pipeline(
     cfg = cfg or default_config()
     alias_df = alias_df if alias_df is not None else alias_dict_df(spark)
     patterns = patterns or dict(RELATION_PATTERNS)
-    gaz = gazetteer(cfg)
+    gaz = gaz if gaz is not None else gazetteer(cfg)
 
     if lang_filter:
         pages = pages.filter(F.col("lang") == lang_filter)
@@ -108,13 +109,20 @@ def run_pipeline(
         linked = linked.persist()
 
     if canonicalize:
-        # alias-overlap edges: entities sharing a surface form
-        surf = linked.filter(F.col("entity_id").isNotNull()).select(
-            F.lower("span").alias("alias"), "entity_id"
-        )
+        # alias-ambiguity edges: two entity ids sharing an alias in
+        # the dictionary are the same real-world entity candidate set;
+        # connected components collapse them to one canonical id.
+        # (Edges come from the DICTIONARY, not mention surfaces —
+        # linking already resolved each mention to its best candidate,
+        # so surface-sharing among linked mentions is blind to the
+        # ambiguity.) The alias dict is small; the self-join
+        # broadcasts. On web-scale dictionaries, pre-filter to aliases
+        # observed in mentions and salt the hot aliases (operators/
+        # skew.py).
+        a = alias_df.select("alias", "entity_id")
         edges = (
-            surf.alias("x")
-            .join(surf.alias("y"), "alias")
+            a.alias("x")
+            .join(F.broadcast(a.alias("y")), "alias")
             .select(
                 F.col("x.entity_id").alias("src"),
                 F.col("y.entity_id").alias("dst"),

@@ -1,0 +1,99 @@
+"""Salted/skew-split joins match plain joins; canonicalization merges
+ambiguous aliases via connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spanmarkerner_spark import schemas
+from spanmarkerner_spark.datagen import gen_pages
+from spanmarkerner_spark.operators.skew import salted_join, skew_split_join, top_keys
+
+
+def test_salted_join_equals_plain(spark):
+    heavy = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(200)], "k int, payload string"
+    )
+    light = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, tag string")
+    plain = {(r["k"], r["payload"], r["tag"]) for r in heavy.join(light, "k").collect()}
+    salted = {
+        (r["k"], r["payload"], r["tag"])
+        for r in salted_join(heavy, light, "k", salt=4).collect()
+    }
+    assert salted == plain and len(plain) == 200
+
+
+def test_skew_split_join_equals_plain(spark):
+    heavy = spark.createDataFrame(
+        [(0 if i < 150 else i % 5, f"v{i}") for i in range(200)],
+        "k int, payload string",
+    )
+    light = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(5)], "k int, tag string"
+    )
+    plain = {(r["k"], r["payload"], r["tag"]) for r in heavy.join(light, "k").collect()}
+    split = {
+        (r["k"], r["payload"], r["tag"])
+        for r in skew_split_join(heavy, light, "k", hot_threshold=100).collect()
+    }
+    assert split == plain
+
+
+def test_top_keys(spark):
+    df = spark.createDataFrame([(0,)] * 9 + [(1,)] * 5 + [(2,)] * 1, "k int")
+    rows = top_keys(df, "k", n=2).collect()
+    assert [(r["k"], r["cnt"]) for r in rows] == [(0, 9), (1, 5)]
+
+
+def test_canonicalization_merges_shared_aliases(spark):
+    """Two entity ids sharing an alias surface form collapse to one
+    canonical id in the linked output."""
+    from spanmarkerner_spark.pipeline import run_pipeline, default_config
+
+    cfg = default_config()
+    # alias dict with an ambiguous alias 'acme' pointing to 2 entities
+    alias_rows = [
+        ("acme", 2001, "acme gmbh", 0.6),
+        ("acme", 2002, "acme inc", 0.4),
+        ("acme gmbh", 2001, "acme gmbh", 0.9),
+        ("acme inc", 2002, "acme inc", 0.9),
+        ("paris", 2003, "paris", 0.9),
+    ]
+    alias_df = spark.createDataFrame(alias_rows, schema=schemas.ALIAS_DICT)
+    text = "acme gmbh works for paris . acme inc moved to paris . acme makes paris"
+    from spanmarkerner_spark.datagen import text_to_html
+
+    pages = spark.createDataFrame(
+        [("u://amb", None, text_to_html(text, "u"), text, "en")], schema=schemas.PAGES
+    )
+    org = cfg.reduced_labels.index("organization")
+    loc = cfg.reduced_labels.index("location")
+    gaz = {"acme": org, "acme gmbh": org, "acme inc": org, "paris": loc}
+    res = run_pipeline(pages, alias_df=alias_df, canonicalize=True, gaz=gaz)
+    linked = res["linked"].filter(F.col("entity_id").isNotNull()).collect()
+    by_span = {}
+    for r in linked:
+        by_span.setdefault(r["span"].lower(), set()).add(r["entity_id"])
+    # all acme variants collapse to ONE canonical id (min of component)
+    acme_ids = set().union(
+        *[v for k, v in by_span.items() if k.startswith("acme")]
+    )
+    assert len(acme_ids) == 1, by_span
+    assert acme_ids == {2001}
+    res_plain = run_pipeline(pages, alias_df=alias_df, canonicalize=False, gaz=gaz)
+    plain_ids = {
+        r["entity_id"]
+        for r in res_plain["linked"].filter(
+            F.lower("span").startswith("acme")
+        ).collect()
+    }
+    assert len(plain_ids) == 2  # without CC they stay distinct
+
+
+def test_canonicalize_noop_on_unambiguous(spark):
+    from spanmarkerner_spark.pipeline import run_pipeline
+
+    pages = spark.createDataFrame(gen_pages(15, seed=3), schema=schemas.PAGES)
+    t1 = {tuple(r) for r in run_pipeline(pages)["triples"].collect()}
+    t2 = {tuple(r) for r in run_pipeline(pages, canonicalize=True)["triples"].collect()}
+    assert t1 == t2  # builtin alias dict has no cross-entity aliases
