@@ -6,9 +6,13 @@
   SURVEY.md §2 + the training-data operators, each (spark, sf_dir) ->
   DataFrame.
 - ``oracle_sql()``: DuckDB-runnable SQL over the same parquet views
-  producing identical values (column names aligned; money/metric
-  aggregates in DECIMAL so sums are exact and order-independent;
-  cosines rounded).
+  producing identical *materialized pandas frames* (column names
+  aligned; per-row parquet doubles emitted as-is — bit-identical in
+  both engines; aggregates quantized to exact int64 sums with one
+  final int/double division, which is correctly rounded and therefore
+  bit-identical cross-engine; never DECIMAL in the output — Spark
+  materializes DECIMAL as object(decimal.Decimal), DuckDB as float64,
+  which flips the driver's value hash even when values are equal).
 
 Non-SQL-expressible entries (the NER/KG UDF pipeline, multimodal
 stub features) intentionally have no oracle — the driver records the
@@ -125,17 +129,20 @@ def p4_filter_guard(spark, sf_dir):
     """
     SELECT o.o_orderkey,
            coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
-           CAST(o.o_totalprice AS DECIMAL(18,4)) AS total
+           o.o_totalprice AS total
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     """,
 )
 def j1_left_coalesce(spark, sf_dir):
+    # per-row parquet doubles are bit-identical cross-engine; no cast
+    # needed (DECIMAL would materialize as object(Decimal) in pandas on
+    # the Spark side but float64 on the DuckDB side -> hash mismatch)
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "left").select(
         "o_orderkey",
         F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
-        F.col("o_totalprice").cast("decimal(18,4)").alias("total"),
+        F.col("o_totalprice").alias("total"),
     )
 
 
@@ -158,25 +165,29 @@ def j1_anti_residue(spark, sf_dir):
     "j2_broadcast_lookup",
     """
     SELECT p.p_brand AS brand,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))
-             AS revenue,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+             / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
 )
 def j2_broadcast_lookup(spark, sf_dir):
+    # exact cross-engine aggregate: quantize price to cents and
+    # discount to percent (both exact in the data), sum int64 (order
+    # independent), one final int/double division (correctly rounded,
+    # so bit-identical in both engines)
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
+    rev_int = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-            ).cast("decimal(28,8)").alias("revenue"),
+            (F.sum(rev_int) / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -186,20 +197,19 @@ def j2_broadcast_lookup(spark, sf_dir):
     "j3_regroup",
     """
     SELECT l_orderkey, count(*) AS n_lines,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_qty,
+           sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS total_qty,
            max(l_linenumber) AS max_line
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def j3_regroup(spark, sf_dir):
+    # quantities are integral in the data -> exact BIGINT sum
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-            .cast("decimal(28,4)")
-            .alias("total_qty"),
+            F.sum(F.round("l_quantity").cast("long")).alias("total_qty"),
             F.max("l_linenumber").alias("max_line"),
         )
     )
@@ -233,14 +243,15 @@ def j5_neighbor_gather(spark, sf_dir):
     "w4_running_sum",
     """
     SELECT event_id, user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
+           sum(CAST(round(value * 1000000) AS BIGINT))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(28,6)) AS running_value
+                ::BIGINT / 1000000.0 AS running_value
     FROM events
     """,
 )
 def w4_running_sum(spark, sf_dir):
+    # event values are exact micros -> int64 running sum, one division
     from pyspark.sql import Window
 
     w = (
@@ -251,10 +262,10 @@ def w4_running_sum(spark, sf_dir):
     return _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .over(w)
-        .cast("decimal(28,6)")
-        .alias("running_value"),
+        (
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).over(w)
+            / F.lit(1000000.0)
+        ).alias("running_value"),
     )
 
 
@@ -263,7 +274,7 @@ def w4_running_sum(spark, sf_dir):
     """
     SELECT * FROM (
       SELECT l_orderkey, l_linenumber,
-             CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+             l_extendedprice AS price,
              row_number() OVER (PARTITION BY l_orderkey
                                 ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
       FROM lineitem) WHERE rnk <= 3
@@ -280,8 +291,8 @@ def w3_topk_per_group(spark, sf_dir):
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
-            F.row_number().over(w).alias("rnk"),
+            F.col("l_extendedprice").alias("price"),
+            F.row_number().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
     )
@@ -290,16 +301,14 @@ def w3_topk_per_group(spark, sf_dir):
 @_q(
     "o3_global_topk",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS total
+    SELECT o_orderkey, o_totalprice AS total
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
     """,
 )
 def o3_global_topk(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("total")
-        )
+        .select("o_orderkey", F.col("o_totalprice").alias("total"))
         .orderBy(F.desc("total"), F.asc("o_orderkey"))
         .limit(5)
     )
@@ -328,18 +337,21 @@ def a2_histogram(spark, sf_dir):
     "a3_stats",
     """
     SELECT lang, min(n_chars) AS min_chars,
-           CAST(avg(n_chars) AS DECIMAL(18,6)) AS avg_chars,
+           sum(n_chars)::BIGINT * 1.0 / count(*) AS avg_chars,
            max(n_chars) AS max_chars
     FROM documents GROUP BY lang
     """,
 )
 def a3_stats(spark, sf_dir):
+    # avg as exact int sum -> one double division (bit-identical in
+    # both engines), instead of engine-native avg() whose intermediate
+    # types differ (Spark decimal vs DuckDB double)
     return (
         _t(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(
             F.min("n_chars").alias("min_chars"),
-            F.avg("n_chars").cast("decimal(18,6)").alias("avg_chars"),
+            (F.sum("n_chars") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_chars"),
             F.max("n_chars").alias("max_chars"),
         )
     )
@@ -369,16 +381,16 @@ def a5_distinct_count(spark, sf_dir):
              (CAST(floor(value * 7) AS BIGINT) % 100 > 45) AS pred
       FROM events
     )
-    SELECT event_type,
-           sum(CASE WHEN gold AND pred THEN 1 ELSE 0 END)           AS tp,
-           sum(CASE WHEN NOT gold AND pred THEN 1 ELSE 0 END)       AS fp,
-           sum(CASE WHEN gold AND NOT pred THEN 1 ELSE 0 END)       AS fn,
-           CAST(2.0 * sum(CASE WHEN gold AND pred THEN 1 ELSE 0 END)
-                / greatest(2 * sum(CASE WHEN gold AND pred THEN 1 ELSE 0 END)
-                           + sum(CASE WHEN NOT gold AND pred THEN 1 ELSE 0 END)
-                           + sum(CASE WHEN gold AND NOT pred THEN 1 ELSE 0 END), 1)
-                AS DECIMAL(18,6)) AS f1
-    FROM labelled GROUP BY event_type
+    , counts AS (
+      SELECT event_type,
+             sum(CASE WHEN gold AND pred THEN 1 ELSE 0 END)::BIGINT     AS tp,
+             sum(CASE WHEN NOT gold AND pred THEN 1 ELSE 0 END)::BIGINT AS fp,
+             sum(CASE WHEN gold AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS fn
+      FROM labelled GROUP BY event_type
+    )
+    SELECT event_type, tp, fp, fn,
+           2.0 * tp / greatest(2 * tp + fp + fn, 1) AS f1
+    FROM counts
     """,
 )
 def a6_prf_metrics(spark, sf_dir):
@@ -391,13 +403,13 @@ def a6_prf_metrics(spark, sf_dir):
     fp = F.sum(F.when(~F.col("gold") & F.col("pred"), 1).otherwise(0)).alias("fp")
     fn = F.sum(F.when(F.col("gold") & ~F.col("pred"), 1).otherwise(0)).alias("fn")
     agg = ev.groupBy("event_type").agg(tp, fp, fn)
+    # 2.0*int is exact; one int->double division is correctly rounded
+    # in both engines -> bit-identical f1 without any rounding/cast
     return agg.withColumn(
         "f1",
-        (
-            2.0
-            * F.col("tp")
-            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
-        ).cast("decimal(18,6)"),
+        2.0
+        * F.col("tp")
+        / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
     )
 
 
@@ -475,7 +487,7 @@ def text_token_counts(spark, sf_dir):
     from spanmarkerner_spark.functions.text import token_count_ws
 
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", token_count_ws("text").alias("n_tokens_ws")
+        "doc_id", token_count_ws("text").cast("long").alias("n_tokens_ws")
     )
 
 
@@ -525,7 +537,7 @@ def text_lang_id(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-      CAST(round((
+      round((
         (CASE WHEN len(tk) BETWEEN 10 AND 2000 THEN 1.0 ELSE 0.3 END) +
         (CASE WHEN len(tk) > 0
               AND length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(tk)
@@ -537,7 +549,7 @@ def text_lang_id(spark, sf_dir):
                     'was','for','said','while','during','despite','many')))
                   * 1.0 / len(tk) >= 0.05
               THEN 1.0 ELSE 0.5 END)
-      ) / 3.0, 6) AS DECIMAL(10,6)) AS quality
+      ) / 3.0, 6) AS quality
     FROM toks
     """,
 )
@@ -545,7 +557,7 @@ def text_quality(spark, sf_dir):
     from spanmarkerner_spark.functions.text import quality_score
 
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", quality_score("text").cast("decimal(10,6)").alias("quality")
+        "doc_id", quality_score("text").alias("quality")
     )
 
 
@@ -598,7 +610,7 @@ def f7_fingerprint(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+    SELECT user_id, count(*) AS n_events, sum(new_session)::BIGINT AS n_sessions
     FROM gaps GROUP BY user_id
     """,
 )
@@ -623,9 +635,10 @@ def events_sessionize(spark, sf_dir):
 @_q(
     "events_windowed",
     """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP_NS AS window_start,
            event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_value
+           sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT / 1000000.0
+             AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -635,9 +648,10 @@ def events_windowed(spark, sf_dir):
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(28,6)")
-        .alias("total_value"),
+        (
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            / F.lit(1000000.0)
+        ).alias("total_value"),
     ).select(
         F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
     )
@@ -654,8 +668,8 @@ _SPREAD_SQL = """
       WHERE len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) > 0
     ), spans AS (
       SELECT doc_id, n,
-             CASE WHEN n <= 6 THEN n * (n + 1) / 2
-                  ELSE (n - 6 + 1) * 6 + 6 * (6 - 1) / 2 END AS num_spans
+             CASE WHEN n <= 6 THEN n * (n + 1) // 2
+                  ELSE (n - 6 + 1) * 6 + 6 * (6 - 1) // 2 END AS num_spans
       FROM sized
     )
     SELECT s.doc_id, s.num_spans,
@@ -887,7 +901,7 @@ def cc_components(spark, sf_dir):
     "agg_rollup",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_qty,
+           sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
            count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -897,9 +911,7 @@ def agg_rollup(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-            .cast("decimal(28,4)")
-            .alias("sum_qty"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -909,12 +921,12 @@ def agg_rollup(spark, sf_dir):
     "agg_pivot",
     """
     SELECT l_returnflag,
-           CAST(sum(CASE WHEN l_linestatus = 'O'
-                    THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END)
-                AS DECIMAL(28,4)) AS qty_open,
-           CAST(sum(CASE WHEN l_linestatus = 'F'
-                    THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END)
-                AS DECIMAL(28,4)) AS qty_filled
+           sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)::BIGINT
+             AS qty_open,
+           sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)::BIGINT
+             AS qty_filled
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -923,12 +935,12 @@ def agg_pivot(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("decimal(28,4)"))
+        .agg(F.sum(F.round("l_quantity").cast("long")))
     )
     return df.select(
         "l_returnflag",
-        F.coalesce(F.col("O"), F.lit(0).cast("decimal(28,4)")).alias("qty_open"),
-        F.coalesce(F.col("F"), F.lit(0).cast("decimal(28,4)")).alias("qty_filled"),
+        F.coalesce(F.col("O"), F.lit(0).cast("long")).alias("qty_open"),
+        F.coalesce(F.col("F"), F.lit(0).cast("long")).alias("qty_filled"),
     )
 
 
@@ -962,7 +974,7 @@ def agg_pivot(spark, sf_dir):
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(12,6)) AS cosine, rank
+    SELECT query_id, neighbor_id, cosine, rank
     FROM ranked WHERE rank <= 5
     """,
 )
@@ -1007,14 +1019,9 @@ def ann_brute_topk(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("cosine").cast("decimal(12,6)").alias("cosine"),
-            "rank",
-        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -1047,7 +1054,7 @@ def ann_brute_topk(spark, sf_dir):
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(12,6)) AS cosine, rank
+    SELECT query_id, neighbor_id, cosine, rank
     FROM ranked WHERE rank <= 5
     """,
 )
@@ -1089,27 +1096,53 @@ def ann_ivf_topk(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("cosine").cast("decimal(12,6)").alias("cosine"),
-            "rank",
-        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
 # ---- NER / KG pipeline (UDF-backed; rows-only checks) ------------------
 
+def _kg_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents-as-pages + deterministic synthetic entity-bearing
+    pages, exactly like ``entry()``: the documents corpus is
+    entity-free filler, so without the synthetic union the KG checks
+    would pass vacuously with 0 rows."""
+    from spanmarkerner_spark import schemas
+    from spanmarkerner_spark.datagen import gen_pages
+
+    synth = spark.createDataFrame(gen_pages(200, seed=42), schema=schemas.PAGES)
+    return _docs_as_pages(spark, sf_dir).unionByName(synth)
+
+
 @_q("kg_mentions")
 def kg_mentions(spark, sf_dir):
-    """Mentions over documents-as-pages (UDF pipeline — no SQL oracle)."""
+    """Mentions over pages (UDF NER pipeline — no SQL oracle; driver
+    records the rows-only check, now with non-zero signal)."""
     ship_package(spark)
     from spanmarkerner_spark.pipeline import run_pipeline
 
     res = run_pipeline(
-        _docs_as_pages(spark, sf_dir), use_extracted=False, persist_stages=False
+        _kg_input(spark, sf_dir), use_extracted=False, persist_stages=False
+    )
+    return res["mentions"]
+
+
+@_q("kg_mentions_context")
+def kg_mentions_context(spark, sf_dir):
+    """Document-context scoring mode (W1): same pipeline with
+    doc_context_window=2 — each sentence scored with neighbouring
+    sentences spliced into its encoding. Parity vs the single-process
+    context oracle is pinned by tests/test_context_pipeline.py."""
+    ship_package(spark)
+    from spanmarkerner_spark.pipeline import run_pipeline
+
+    res = run_pipeline(
+        _kg_input(spark, sf_dir),
+        use_extracted=False,
+        persist_stages=False,
+        doc_context_window=2,
     )
     return res["mentions"]
 
@@ -1120,17 +1153,53 @@ def kg_triples(spark, sf_dir):
     from spanmarkerner_spark.pipeline import run_pipeline
 
     res = run_pipeline(
-        _docs_as_pages(spark, sf_dir), use_extracted=False, persist_stages=True
+        _kg_input(spark, sf_dir), use_extracted=False, persist_stages=True
     )
     return res["triples"]
 
 
-@_q("multimodal_features")
+@_q(
+    "multimodal_features",
+    """
+    -- mirror of synth_media + _fake_decode: payload = md5('42|'||i)
+    -- digest repeated (4 + i%8) times; feature byte j = byte j of
+    -- md5(hex(payload)). All md5-derived, so fully SQL-expressible
+    -- (payload.hex() == repeat of the lowercase md5 hex string).
+    WITH m AS (
+      SELECT i AS media_id,
+             ['image','audio','video'][(i % 3) + 1] AS kind,
+             md5(repeat(md5('42|' || i), 4 + i % 8)) AS h,
+             16 * (4 + i % 8) AS n_bytes
+      FROM (SELECT unnest(range(200)) AS i)
+    )
+    SELECT media_id, kind, n_bytes,
+           ('0x' || substr(h,  1, 2))::BIGINT AS b0,
+           ('0x' || substr(h,  3, 2))::BIGINT AS b1,
+           ('0x' || substr(h,  5, 2))::BIGINT AS b2,
+           ('0x' || substr(h,  7, 2))::BIGINT AS b3,
+           ('0x' || substr(h,  9, 2))::BIGINT AS b4,
+           ('0x' || substr(h, 11, 2))::BIGINT AS b5,
+           ('0x' || substr(h, 13, 2))::BIGINT AS b6,
+           ('0x' || substr(h, 15, 2))::BIGINT AS b7
+    FROM m
+    """,
+)
 def multimodal_features(spark, sf_dir):
+    """Driver-facing projection of the multimodal feature extractor:
+    scalar byte columns instead of array<float> (list columns crash
+    the driver's pandas canonicalizer), recovered exactly from the
+    float feature as round(f * 255)."""
     ship_package(spark)
     from spanmarkerner_spark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 200))
+    feats = extract_features(synth_media(spark, 200))
+    cols = [
+        F.round(F.element_at("feature", j + 1) * 255).cast("long").alias(f"b{j}")
+        for j in range(8)
+    ]
+    return feats.select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), *cols
+    )
 
 
 # ---------------------------------------------------------------------

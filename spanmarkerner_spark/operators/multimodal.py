@@ -62,8 +62,10 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     """STUB for the real decoder (PIL.Image.open / librosa.load /
     pyav frame sampling). Deterministic feature from payload bytes so
-    the pipeline is testable end-to-end without media libs."""
-    h = hashlib.md5(payload).digest()
+    the pipeline is testable end-to-end without media libs. Hashes the
+    hex encoding (not the raw bytes) so the SQL oracle can reproduce
+    it — DuckDB's md5() only accepts VARCHAR."""
+    h = hashlib.md5(payload.hex().encode()).digest()
     return (
         np.frombuffer(h[: dim * 2], dtype=np.uint8)[:dim].astype(np.float32) / 255.0
     )

@@ -300,7 +300,10 @@ def decode_mentions_shuffle(scored: DataFrame, cfg: SpanMarkerConfig) -> DataFra
 
 
 def ner_mentions_fused(
-    sentences: DataFrame, cfg: SpanMarkerConfig, gazetteer: dict[str, int]
+    sentences: DataFrame,
+    cfg: SpanMarkerConfig,
+    gazetteer: dict[str, int],
+    context_window: int = 0,
 ) -> DataFrame:
     """The whole U2..U6 chain in ONE Arrow UDF: tokenize -> enumerate
     -> chunk over the marker budget -> collate+score -> greedy decode,
@@ -315,7 +318,19 @@ def ner_mentions_fused(
     (modeling.py:466-574: one tokenizer call, one scoring loop, decode
     per sentence). Chunks of a sentence never cross batches here, so
     decode needs no carry buffer.
+
+    context_window > 0 enables document context (W1, the reference's
+    predict() with document_id present, modeling.py:474-492 +
+    trainer.py:278-366): each sentence's encoding is padded with up to
+    `context_window` neighbouring sentences' token ids on each side
+    (whole sentences only, alternating next/prev, specials stripped)
+    and the marker position ids are shifted by the prepended length.
+    The neighbour token arrays arrive via window lag/lead over
+    (url, sentence_id) — the upstream repartition("url") +
+    sortWithinPartitions already satisfies that window's required
+    distribution and ordering, so context adds NO extra shuffle.
     """
+    from spanmarkerner_spark.operators.context import context_merge
     from spanmarkerner_spark.subword import enumerate_spans
 
     gaz = dict(gazetteer)
@@ -329,8 +344,12 @@ def ner_mentions_fused(
         for pdf in batches:
             rows = []
             meta = []  # (url, sid, words, e, spans) per chunk row
-            for url, sid, toks, off in zip(
-                pdf["url"], pdf["sentence_id"], pdf["tokens"], pdf["char_offset"]
+            has_ctx = "_prev_toks" in pdf.columns
+            prev_col = pdf["_prev_toks"] if has_ctx else pdf["url"]
+            next_col = pdf["_next_toks"] if has_ctx else pdf["url"]
+            for url, sid, toks, off, pv, nx in zip(
+                pdf["url"], pdf["sentence_id"], pdf["tokens"],
+                pdf["char_offset"], prev_col, next_col,
             ):
                 words = list(toks)
                 e = encode_words(words, vocab, model_max)
@@ -338,18 +357,31 @@ def ner_mentions_fused(
                 if nw == 0:
                     continue
                 words = words[:nw]
+                input_ids, shift = e["input_ids"], 0
+                if has_ctx:
+                    pv_ids = [
+                        encode_words(list(t), vocab, model_max)["input_ids"]
+                        for t in pv if t is not None
+                    ]
+                    nx_ids = [
+                        encode_words(list(t), vocab, model_max)["input_ids"]
+                        for t in nx if t is not None
+                    ]
+                    input_ids, shift = context_merge(
+                        e["input_ids"], pv_ids, nx_ids, model_max
+                    )
                 spans = enumerate_spans(nw, L)
-                space = min(mml, (cfg.total_size - len(e["input_ids"])) // 2)
+                space = min(mml, (cfg.total_size - len(input_ids)) // 2)
                 for c0 in range(0, len(spans), space):
                     chunk = spans[c0 : c0 + space]
                     rows.append(
                         {
-                            "input_ids": e["input_ids"],
+                            "input_ids": input_ids,
                             "start_position_ids": [
-                                e["word_tok_start"][s] for s, _ in chunk
+                                e["word_tok_start"][s] + shift for s, _ in chunk
                             ],
                             "end_position_ids": [
-                                e["word_tok_end"][x - 1] for _, x in chunk
+                                e["word_tok_end"][x - 1] + shift for _, x in chunk
                             ],
                             "gaz_labels": [
                                 gaz.get(" ".join(words[s:x]).lower(), -1)
@@ -400,7 +432,23 @@ def ner_mentions_fused(
                 yield pd.DataFrame(out, columns=_MENTION_COLS)
 
     cols = ["url", "sentence_id", "tokens", "char_offset"]
-    return sentences.select(cols).mapInPandas(fn, schema=schemas.MENTIONS)
+    staged = sentences.select(cols)
+    if context_window > 0:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy("sentence_id")
+        staged = staged.withColumn(
+            "_prev_toks",
+            F.array(*[
+                F.lag("tokens", i).over(w) for i in range(1, context_window + 1)
+            ]),
+        ).withColumn(
+            "_next_toks",
+            F.array(*[
+                F.lead("tokens", i).over(w) for i in range(1, context_window + 1)
+            ]),
+        )
+    return staged.mapInPandas(fn, schema=schemas.MENTIONS)
 
 
 def ner_mentions(
@@ -409,13 +457,21 @@ def ner_mentions(
     gazetteer: dict[str, int],
     narrow_decode: bool = True,
     fused: bool = True,
+    context_window: int = 0,
 ) -> DataFrame:
     """sentences -> mentions, the full U2..U6 chain. fused=True (the
     production path) runs one UDF; fused=False runs the staged
-    operators (used by tests to pin stage semantics)."""
+    operators (used by tests to pin stage semantics). context_window
+    enables the reference's document-context mode (W1)."""
     if fused:
-        return ner_mentions_fused(sentences, cfg, gazetteer)
+        return ner_mentions_fused(
+            sentences, cfg, gazetteer, context_window=context_window
+        )
     tok = tokenize(sentences, cfg)
+    if context_window > 0:
+        from spanmarkerner_spark.operators.context import add_document_context
+
+        tok = add_document_context(tok, cfg, window_size=context_window)
     spread = enumerate_and_spread(tok, cfg, gazetteer)
     scored = score_spans(spread, cfg, gazetteer)
     if narrow_decode:

@@ -89,6 +89,97 @@ def oracle_mentions(
     return mentions
 
 
+def oracle_mentions_context(
+    pages: list[tuple],
+    cfg: SpanMarkerConfig,
+    context_window: int = 2,
+    lang_filter: str | None = None,
+) -> list[dict]:
+    """Document-context variant of oracle_mentions (the reference's
+    predict() with document_id present, modeling.py:474-492): each
+    sentence is scored with up to context_window neighbouring
+    sentences' ids spliced into its encoding and position ids shifted
+    by the prepended length. Mirrors ner_mentions_fused(context_window>0)
+    operation-for-operation."""
+    from spanmarkerner_spark.operators.context import context_merge
+
+    enc = TinySpanEncoder(cfg)
+    gaz = gazetteer(cfg)
+    mentions: list[dict] = []
+    for url, _ts, html, _text, lang in pages:
+        if lang_filter and lang != lang_filter:
+            continue
+        text = extract_text_py(html)
+        # first pass: segment + encode every non-blank sentence (the
+        # lag/lead frame in the Spark path runs over exactly these
+        # rows — num_words==0 sentences still occupy neighbour slots)
+        sents = []  # (sid, words, enc_dict, char_offset)
+        char_offset = 0
+        sid = -1
+        for raw in text.split(" . "):
+            sid += 1
+            sent_len = len(raw)
+            if raw.strip():
+                words = raw.split(" ")
+                e = encode_words(words, cfg.vocab_size, cfg.model_max_length)
+                sents.append((sid, words[: e["num_words"]], e, char_offset))
+            char_offset += sent_len + 3
+        # second pass: context-merge neighbours
+        for i, (sid, words, e, off) in enumerate(sents):
+            if e["num_words"] == 0:
+                continue
+            pv_ids = [
+                sents[i - k][2]["input_ids"]
+                for k in range(1, context_window + 1)
+                if i - k >= 0
+            ]
+            nx_ids = [
+                sents[i + k][2]["input_ids"]
+                for k in range(1, context_window + 1)
+                if i + k < len(sents)
+            ]
+            input_ids, shift = context_merge(
+                e["input_ids"], pv_ids, nx_ids, cfg.model_max_length
+            )
+            spans = enumerate_spans(len(words), cfg.entity_max_length)
+            space = min(
+                cfg.marker_max_length, (cfg.total_size - len(input_ids)) // 2
+            )
+            cand: list[tuple[int, int, int, float]] = []
+            for c0 in range(0, len(spans), space):
+                chunk = spans[c0 : c0 + space]
+                row = {
+                    "input_ids": input_ids,
+                    "start_position_ids": [
+                        e["word_tok_start"][s] + shift for s, _ in chunk
+                    ],
+                    "end_position_ids": [
+                        e["word_tok_end"][x - 1] + shift for _, x in chunk
+                    ],
+                    "span_texts": [" ".join(words[s:x]).lower() for s, x in chunk],
+                }
+                (labels, scores), = score_batch(enc, [row], gaz, cfg)
+                cand.extend(
+                    (s, x, l, sc) for (s, x), l, sc in zip(chunk, labels, scores)
+                )
+            for s, x, lab, sc in greedy_decode(cand, cfg.outside_id):
+                mentions.append(
+                    {
+                        "url": url,
+                        "sentence_id": sid,
+                        "span": " ".join(words[s:x]),
+                        "label": cfg.reduced_labels[lab],
+                        "score": sc,
+                        "word_start_index": s,
+                        "word_end_index": x,
+                        "char_start_index": off + e["word_char_start"][s],
+                        "char_end_index": off + e["word_char_end"][x - 1],
+                        "tokens": words,
+                    }
+                )
+    return mentions
+
+
 def oracle_link(mentions: list[dict]) -> list[dict]:
     """Same rerank rule as operators/linking.py: argmax of
     score*prior, tie -> lower entity_id."""

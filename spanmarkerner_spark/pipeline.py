@@ -52,6 +52,7 @@ def run_pipeline(
     canonicalize: bool = False,
     persist_stages: bool = False,
     gaz: dict[str, int] | None = None,
+    doc_context_window: int = 0,
 ) -> dict[str, DataFrame]:
     """Returns the named intermediate tables; 'triples' is the output.
 
@@ -59,6 +60,10 @@ def run_pipeline(
     canonicalize=True additionally rewrites entity ids through
     connected components over co-sentence co-reference edges (same
     canonical id for entities sharing an alias cluster).
+    doc_context_window>0 scores each sentence with up to that many
+    neighbouring sentences spliced into its encoding (the reference's
+    document-context predict mode); the neighbour gather rides the
+    existing url repartition — no extra shuffle.
     """
     spark = pages.sparkSession
     cfg = cfg or default_config()
@@ -98,7 +103,9 @@ def run_pipeline(
         # partitions (narrow decode needs per-sentence adjacency)
         sentences = sentences.sortWithinPartitions("url", "sentence_id")
 
-    mentions = ner_mentions(sentences, cfg, gaz)
+    mentions = ner_mentions(
+        sentences, cfg, gaz, context_window=doc_context_window
+    )
     linked = link_mentions(mentions, alias_df)
     if persist_stages:
         # persist ONLY the post-NER diamond point. Do NOT persist
