@@ -944,6 +944,200 @@ def agg_pivot(spark, sf_dir):
     )
 
 
+# ---- model card (A3+A4+O3 composed; model_card.py:262-334) ------------
+
+@_q(
+    "model_card_stats",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), ent AS (
+      SELECT doc_id, tk,
+             list_filter(tk, t -> regexp_matches(t, '^[a-z]{6,}$')) AS ew
+      FROM base
+    ), metrics AS (
+      SELECT 'training_set' AS section, item, value_num,
+             NULL::VARCHAR AS value_str
+      FROM (
+        SELECT unnest(['sentence_length_min','sentence_length_mean',
+                       'sentence_length_max','entities_per_sentence_min',
+                       'entities_per_sentence_mean','entities_per_sentence_max'])
+                 AS item,
+               unnest([CAST(min(len(tk)) AS DOUBLE),
+                       sum(len(tk))::BIGINT * 1.0 / count(*),
+                       CAST(max(len(tk)) AS DOUBLE),
+                       CAST(min(len(ew)) AS DOUBLE),
+                       sum(len(ew))::BIGINT * 1.0 / count(*),
+                       CAST(max(len(ew)) AS DOUBLE)]) AS value_num
+        FROM ent)
+    ), words AS (
+      SELECT CASE WHEN length(w) >= 8 THEN 'ORG' ELSE 'PER' END AS label, w
+      FROM (SELECT unnest(ew) AS w FROM ent)
+    ), examples AS (
+      SELECT 'label_examples' AS section, label AS item,
+             NULL::DOUBLE AS value_num,
+             array_to_string(
+               list_transform(list_slice(list_sort(list(DISTINCT w)), 1, 3),
+                              x -> '"' || x || '"'), ', ') AS value_str
+      FROM words GROUP BY label
+    ), wb AS (
+      SELECT array_to_string(tk, ' ') AS text,
+             len(list_distinct(list_transform(ew,
+               t -> CASE WHEN length(t) >= 8 THEN 'ORG' ELSE 'PER' END)))
+               AS uniq_labels,
+             len(ew) AS entity_count, len(tk) AS word_count,
+             ('0x' || substr(md5(array_to_string(tk, ' ')), 1, 15))::BIGINT
+               AS tiebreak
+      FROM ent
+    ), topk AS (
+      SELECT *, row_number() OVER (ORDER BY uniq_labels DESC,
+                                   entity_count DESC, tiebreak) AS rank
+      FROM wb QUALIFY rank <= 5
+    ), widget AS (
+      SELECT 'widget' AS section, CAST(rank AS VARCHAR) AS item,
+             NULL::DOUBLE AS value_num, text AS value_str
+      FROM topk
+    ), predict AS (
+      SELECT 'widget' AS section, 'predict_example' AS item,
+             NULL::DOUBLE AS value_num, text AS value_str
+      FROM topk ORDER BY word_count, tiebreak LIMIT 1
+    )
+    SELECT * FROM metrics UNION ALL SELECT * FROM examples
+    UNION ALL SELECT * FROM widget UNION ALL SELECT * FROM predict
+    """,
+)
+def model_card_stats(spark, sf_dir):
+    """Model-card statistics (reference model_card.py:262-334) over a
+    deterministic labelled fixture derived from documents: a
+    word of length >= 6 is an entity, label ORG if len >= 8 else PER
+    (the corpus is all-lowercase filler, so a casing rule would be
+    vacuous).
+    Exercises the composed card_stats operator end-to-end with a full
+    value oracle."""
+    from spanmarkerner_spark.functions.text import tokens_ws
+    from spanmarkerner_spark.operators.model_card import card_stats
+
+    ents = F.expr(
+        "filter(transform(tokens, (t, i) -> struct("
+        "  CASE WHEN t rlike '^[a-z]{6,}$' THEN"
+        "    (CASE WHEN length(t) >= 8 THEN 1 ELSE 0 END)"
+        "  ELSE -1 END AS label_id,"
+        "  i AS word_start, i + 1 AS word_end)),"
+        " s -> s.label_id >= 0)"
+    )
+    fixture = (
+        _t(spark, sf_dir, "documents")
+        .select(tokens_ws("text").alias("tokens"))
+        .withColumn("entities", ents)
+    )
+    return card_stats(fixture, labels=["PER", "ORG"])
+
+
+# ---- trainer preprocess + seqeval flow (trainer.py:166-276 +
+# evaluation.py:75-106 composed) -----------------------------------------
+
+@_q(
+    "trainer_eval_metrics",
+    r"""
+    -- mirror of normalize_fixture (schemeless runs) ->
+    -- gold_span_assignment (len <= 6 candidates) -> seqeval_f1
+    WITH toks AS (
+      SELECT doc_id, t.w, t.i
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+        LATERAL (SELECT unnest(tk) AS w,
+                        generate_subscripts(tk, 1) - 1 AS i) t
+    ), tagged AS (
+      SELECT doc_id, i,
+             CASE WHEN regexp_matches(w, '^[a-z]{6,}$')
+                  THEN (CASE WHEN length(w) >= 8 THEN 'ORG' ELSE 'PER' END)
+                  ELSE 'O' END AS lab
+      FROM toks
+    ), islands AS (
+      SELECT doc_id, lab,
+             i - row_number() OVER (PARTITION BY doc_id, lab ORDER BY i) AS grp,
+             i
+      FROM tagged WHERE lab <> 'O'
+    ), gold AS (
+      SELECT doc_id, lab AS label,
+             min(i) AS word_start, max(i) + 1 AS word_end
+      FROM islands GROUP BY doc_id, lab, grp
+      HAVING max(i) + 1 - min(i) <= 6
+    ), pred AS (
+      SELECT doc_id,
+             CASE WHEN word_start % 3 = 0 THEN 'ORG' ELSE 'PER' END AS label,
+             word_start, word_end
+      FROM gold
+    ), joined AS (
+      SELECT coalesce(g.label, p.label) AS label,
+             (g.doc_id IS NOT NULL AND p.doc_id IS NOT NULL) AS is_tp,
+             (g.doc_id IS NULL) AS is_fp,
+             (p.doc_id IS NULL) AS is_fn
+      FROM gold g FULL JOIN pred p
+        ON g.doc_id = p.doc_id AND g.label = p.label
+       AND g.word_start = p.word_start AND g.word_end = p.word_end
+    ), counts AS (
+      SELECT label,
+             sum(CASE WHEN is_tp THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN is_fp THEN 1 ELSE 0 END)::BIGINT AS fp,
+             sum(CASE WHEN is_fn THEN 1 ELSE 0 END)::BIGINT AS fn
+      FROM joined GROUP BY label
+    )
+    SELECT label, tp, fp, fn,
+           round(tp / greatest(tp + fp, 1), 6) AS precision,
+           round(tp / greatest(tp + fn, 1), 6) AS recall,
+           round(2 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
+    FROM counts
+    """,
+)
+def trainer_eval_metrics(spark, sf_dir):
+    """The reference's preprocess+eval chain as ONE composed Spark
+    flow: (tokens, ner_tags) fixture -> normalize_fixture (U1 Arrow
+    UDF) -> gold_span_assignment (J1 joins) -> seqeval_f1 (A6
+    aggregations), against a deterministic perturbed prediction set.
+    Pins P/R/F1 values cross-engine."""
+    ship_package(spark)
+    from spanmarkerner_spark.config import SpanMarkerConfig
+    from spanmarkerner_spark.functions.text import tokens_ws
+    from spanmarkerner_spark.operators.labels import (
+        gold_span_assignment,
+        normalize_fixture,
+    )
+    from spanmarkerner_spark.operators.metrics import seqeval_f1
+
+    cfg = SpanMarkerConfig(labels=["O", "PER", "ORG"])  # schemeless
+    tags = F.expr(
+        "transform(tokens, t -> CASE WHEN t rlike '^[a-z]{6,}$' THEN"
+        " (CASE WHEN length(t) >= 8 THEN 2 ELSE 1 END) ELSE 0 END)"
+    )
+    fixture = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens_ws("text").alias("tokens"))
+        .withColumn("ner_tags", tags)
+    )
+    normalized = normalize_fixture(fixture, cfg)
+    assigned, _missed = gold_span_assignment(normalized, cfg, ["doc_id"])
+    label_arr = F.array(*[F.lit(x) for x in cfg.reduced_labels])
+    gold = assigned.filter(F.col("label_id") != cfg.outside_id).select(
+        "doc_id",
+        F.element_at(label_arr, F.col("label_id") + 1).alias("label"),
+        "word_start",
+        "word_end",
+    )
+    pred = gold.withColumn(
+        "label",
+        F.when(F.col("word_start") % 3 == 0, "ORG").otherwise("PER"),
+    )
+    per_label, _overall = seqeval_f1(gold, pred, keys=["doc_id"])
+    return per_label.select(
+        "label", "tp", "fp", "fn", "precision", "recall", "f1"
+    )
+
+
 # ---- similarity (ANN) --------------------------------------------------
 
 @_q(

@@ -50,24 +50,28 @@ def segment_sentences(pages: DataFrame, text_col: str = "text") -> DataFrame:
     running-sum (spacy_integration.py:152-158) done as a window
     partial sum, partition-local, no global sort.
     """
-    sents = (
-        pages.select(
-            "url",
-            F.posexplode(F.split(F.col(text_col), " \\. ")).alias(
-                "sentence_id", "sentence"
-            ),
-        )
-        .filter(F.length(F.trim("sentence")) > 0)
-        .withColumn("tokens", F.split("sentence", " "))
+    sents = pages.select(
+        "url",
+        F.posexplode(F.split(F.col(text_col), " \\. ")).alias(
+            "sentence_id", "sentence"
+        ),
     )
     w = (
         Window.partitionBy("url")
         .orderBy("sentence_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return sents.withColumn(
-        "char_offset",
-        F.coalesce(F.sum(F.length("sentence") + 3).over(w), F.lit(0)).cast("int"),
+    # offset sum runs over ALL segments — blank sentences are filtered
+    # only afterwards, so they still contribute len+3 to the offsets of
+    # the sentences that follow them (matching the single-process
+    # oracle, oracle.py)
+    return (
+        sents.withColumn(
+            "char_offset",
+            F.coalesce(F.sum(F.length("sentence") + 3).over(w), F.lit(0)).cast("int"),
+        )
+        .filter(F.length(F.trim("sentence")) > 0)
+        .withColumn("tokens", F.split("sentence", " "))
     )
 
 

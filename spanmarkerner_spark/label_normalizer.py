@@ -3,12 +3,17 @@
 Reimplements the semantics of the reference's four normalizer
 dialects (span_marker/label_normalizer.py:50-137):
 
-  IOB/IOB2   B-X starts, I-X continues (I-X after O/other label also
-             starts a new entity — lenient IOB2, matching the
-             reference's scan which closes on label change)
-  BIOES      B-X..E-X spans, S-X singletons
-  BILOU      B-X..L-X spans, U-X singletons
+  IOB/IOB2   start on B or I, end on B or O — so [B-X, I-Y] is ONE
+             X entity (label from the opening tag) and a dangling I-X
+             after O starts a new entity
+  BIOES      start on B or S, end on B, O or S (E does NOT close; the
+             entity runs to the next B/O/S or end of sentence)
+  BILOU      start on B or U, end on B, O or U (same shape)
   schemeless runs of identical non-O ids
+
+These are the exact start_ids/end_ids scans of the reference's
+LabelNormalizerIOB/BIOES/BILOU (label_normalizer.py:43-95), including
+their behavior on malformed sequences.
 
 Output triples are (reduced_label_id, word_start, word_end) with end
 exclusive — the reference's Entity tuple (label_normalizer.py:9-16).
@@ -41,39 +46,28 @@ def _normalize_schemeless(tags: list[int], outside_id: int) -> list[Entity]:
 
 
 def _normalize_schemed(
-    tags: list[int], cfg: SpanMarkerConfig, begin: set[str], inside: set[str],
-    last: set[str], unit: set[str],
+    tags: list[int], cfg: SpanMarkerConfig, start_tags: set[str],
+    end_tags: set[str],
 ) -> list[Entity]:
+    """The reference's start_ids/end_ids scan
+    (label_normalizer.py:50-67): a tag in end_tags closes any open
+    entity, a tag in start_tags then opens one (S/U do both), and the
+    reduced label comes from the OPENING tag — continuation tags never
+    relabel or split an entity."""
     out: list[Entity] = []
-    cur_label: int | None = None
-    start = 0
-
-    def flush(end: int) -> None:
-        nonlocal cur_label
-        if cur_label is not None:
-            out.append((cur_label, start, end))
-            cur_label = None
-
+    start: int | None = None
+    reduced: int | None = None
     for i, t in enumerate(tags):
         lab = cfg.id2label.get(t, "O")
-        if lab == "O":
-            flush(i)
-            continue
-        tag, reduced = lab[0], cfg.id2reduced_id[t]
-        if tag in unit:
-            flush(i)
-            out.append((reduced, i, i + 1))
-        elif tag in begin:
-            flush(i)
-            cur_label, start = reduced, i
-        elif tag in inside or tag in last:
-            if cur_label is None or cur_label != reduced:
-                # dangling/label-switching I: treat as a new start
-                flush(i)
-                cur_label, start = reduced, i
-            if tag in last:
-                flush(i + 1)
-    flush(len(tags))
+        tag = "O" if lab == "O" else lab[0]
+        if start is not None and tag in end_tags:
+            out.append((reduced, start, i))
+            start = None
+        if start is None and tag in start_tags:
+            reduced = cfg.id2reduced_id[t]
+            start = i
+    if start is not None:
+        out.append((reduced, start, len(tags)))
     return out
 
 
@@ -83,11 +77,11 @@ def normalize_tags(tags: list[int], cfg: SpanMarkerConfig) -> list[Entity]:
     if cfg.scheme is None:
         return _normalize_schemeless(list(tags), cfg.outside_id)
     if cfg.scheme == "IOB2":
-        return _normalize_schemed(tags, cfg, {"B"}, {"I"}, set(), set())
+        return _normalize_schemed(tags, cfg, {"B", "I"}, {"B", "O"})
     if cfg.scheme == "BIOES":
-        return _normalize_schemed(tags, cfg, {"B"}, {"I"}, {"E"}, {"S"})
+        return _normalize_schemed(tags, cfg, {"B", "S"}, {"B", "O", "S"})
     if cfg.scheme == "BILOU":
-        return _normalize_schemed(tags, cfg, {"B"}, {"I"}, {"L"}, {"U"})
+        return _normalize_schemed(tags, cfg, {"B", "U"}, {"B", "O", "U"})
     raise ValueError(f"unknown scheme {cfg.scheme}")
 
 

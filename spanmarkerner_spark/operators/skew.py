@@ -33,7 +33,18 @@ def salted_join(
     salt_by: columns of the heavy side used to derive the per-row
     salt (defaults to all of the heavy side's columns - deterministic,
     so checkpoint-resume reproduces identical partitioning).
+
+    how is restricted to inner/left/left_semi: the light side is
+    replicated `salt` times, so right/full/left_anti would emit each
+    unmatched light row once per replica — not equivalent to the
+    unsalted join.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: the "
+            "replicated light side would duplicate unmatched rows under "
+            "right/full/anti joins"
+        )
     cols = salt_by or [c for c in heavy.columns]
     h = heavy.withColumn(
         "_salt", F.pmod(F.xxhash64(*cols), F.lit(salt)).cast("int")

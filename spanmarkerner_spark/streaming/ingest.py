@@ -7,8 +7,12 @@ incremental behavior two ways:
    the north_rule mechanism;
 2. this module: a file-source stream over a pages directory with
    Trigger.AvailableNow, running the full pipeline per micro-batch in
-   foreachBatch (exactly-once via the streaming checkpoint + the
-   idempotent per-bucket writes of write_stage).
+   foreachBatch. Exactly-once: foreachBatch is inherently
+   at-least-once (a failed micro-batch is retried with the same
+   epoch_id), so the sink writes each batch into an epoch_id=<n>
+   partition with dynamic partition overwrite — a retry overwrites
+   its own partition instead of appending duplicates, making the
+   retried write idempotent and the stream end-to-end exactly-once.
 
 Also provides a watermarked windowed aggregation over the events
 table — the standard late-data streaming operator — used by tests and
@@ -41,7 +45,20 @@ def stream_pages_to_triples(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         res = run_pipeline(batch_df, persist_stages=True, **pipeline_kwargs)
-        res["triples"].write.mode("append").parquet(out_dir)
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                res["triples"]
+                .withColumn("epoch_id", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .partitionBy("epoch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            # run_pipeline(persist_stages=True) persists the linked
+            # stage; release it before the next micro-batch
+            res["linked"].unpersist()
 
     return (
         pages.writeStream.foreachBatch(process)

@@ -68,11 +68,22 @@ def test_iob2_dangling_inside():
 
 
 def test_iob2_label_switch_inside():
+    """Reference semantics (label_normalizer.py:70-77): entities end
+    only on B/O, and the label comes from the opening tag — [B-PER,
+    I-ORG] stays ONE PER entity spanning both words."""
     cfg = SpanMarkerConfig(labels=CONLL_LABELS)
     tags = ids(cfg, ["B-PER", "I-ORG"])
     per = cfg.reduced_labels.index("PER")
-    org = cfg.reduced_labels.index("ORG")
-    assert normalize_tags(tags, cfg) == [(per, 0, 1), (org, 1, 2)]
+    assert normalize_tags(tags, cfg) == [(per, 0, 2)]
+
+
+def test_iob_dangling_inside_starts():
+    """IOB (not IOB2) allows I-X to open an entity: start_ids = B|I
+    (label_normalizer.py:75)."""
+    cfg = SpanMarkerConfig(labels=CONLL_LABELS)
+    tags = ids(cfg, ["O", "I-LOC", "I-LOC", "O"])
+    loc = cfg.reduced_labels.index("LOC")
+    assert normalize_tags(tags, cfg) == [(loc, 1, 3)]
 
 
 def test_bioes():

@@ -303,11 +303,25 @@ def test_stream_pages_to_triples(spark):
             spark, f"{tmp}/pages", f"{tmp}/triples", f"{tmp}/ckpt"
         )
         q.awaitTermination(300)
-        out = spark.read.parquet(f"{tmp}/triples")
+        out = spark.read.parquet(f"{tmp}/triples").drop("epoch_id")
         from spanmarkerner_spark.oracle import run_oracle
         expected = run_oracle(rows, SpanMarkerConfig(labels=KG_LABELS))["triples"]
-        got = {tuple(r) for r in out.collect()}
-        assert got == expected
+        rows1 = [tuple(r) for r in out.collect()]
+        assert set(rows1) == expected
+        # idempotence: re-running the same epoch's write (simulating a
+        # foreachBatch retry) must not duplicate triples
+        q2 = stream_pages_to_triples(
+            spark, f"{tmp}/pages", f"{tmp}/triples", f"{tmp}/ckpt2"
+        )
+        q2.awaitTermination(300)
+        rows2 = [
+            tuple(r)
+            for r in spark.read.parquet(f"{tmp}/triples")
+            .drop("epoch_id")
+            .collect()
+        ]
+        assert set(rows2) == expected
+        assert len(rows2) == len(rows1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -320,3 +334,15 @@ def test_windowed_event_counts_batch(spark):
     assert agg.count() > 0
     total = agg.agg(F.sum("n")).collect()[0][0]
     assert total == ev.count()
+
+
+def test_segment_blank_sentence_offsets(spark):
+    """Blank segments are dropped from the output but still contribute
+    len+3 to following sentences' char offsets (ADVICE round 1: the
+    offset window must run before the blank filter)."""
+    from spanmarkerner_spark.functions.text import segment_sentences
+
+    text = "alpha beta .  . gamma delta"
+    df = spark.createDataFrame([("u1", text)], ["url", "text"])
+    rows = {r.sentence: r.char_offset for r in segment_sentences(df).collect()}
+    assert rows == {"alpha beta": 0, "gamma delta": text.find("gamma")}
