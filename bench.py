@@ -52,7 +52,23 @@ def main() -> None:
 
     for name in HEADLINE:
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        if name == "dedup_minhash":
+            # bench the PRODUCTION signature path (seeded xxhash64);
+            # the md5 'portable' variant exists only so the driver's
+            # DuckDB oracle can verify values, and costs 16 md5
+            # evaluations per shingle
+            from spanmarkerner_spark.operators.dedup import minhash_lsh_pairs
+
+            minhash_lsh_pairs(
+                E._t(spark, sf_dir, "documents"),
+                num_hashes=16,
+                bands=4,
+                jaccard_threshold=0.5,
+                max_bucket=50,
+                hash_fn="xxhash",
+            ).count()
+        else:
+            qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
 
     # end-to-end KG pipeline (documents-as-pages + synthetic signal pages)

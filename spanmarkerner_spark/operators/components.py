@@ -4,18 +4,26 @@ Canonicalization stage (north_star): cluster entity/mention nodes
 connected by similarity or shared-alias edges, assigning every node
 the minimum node id of its component.
 
-Algorithm: alternating *large-star / small-star* (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SOCC'14) — each
-iteration is a pair of joins + aggregations, converging in
-O(log^2 n) rounds on any graph and ~2-4 rounds on the short, fat
-components typical of alias graphs. All DataFrame ops:
+Algorithm: min-label propagation with pointer jumping — each round is
+one neighborhood-min (join + agg) followed by one label-on-label join
+(pointer jump), converging in O(log n) rounds on alias graphs. All
+DataFrame ops:
 
-  large-star: attach each neighbor > v to min(neighborhood ∪ {v})
-  small-star: attach each neighbor <= v to that min
+  nbr-min:      label(v) <- min(label(v), min over neighbors' labels)
+  pointer-jump: label(v) <- min(label(v), label(label(v)))
 
-Iterative lineage is cut with localCheckpoint each round (the classic
-iterative-join plan-blowup fix); convergence is detected by comparing
-the count of changed labels (an aggregate, not a collect of data).
+Iterative lineage is cut each round (the classic iterative-join
+plan-blowup fix):
+  - default: localCheckpoint — executor-local blocks, fine in local
+    mode and for short jobs;
+  - checkpoint_dir set: reliable checkpoint() to that (HDFS/S3)
+    directory — survives executor loss, the right choice for long
+    cluster runs (an executor dying mid-job invalidates
+    localCheckpoint blocks and fails the job).
+
+Convergence costs no extra join: the changed flag is carried on the
+labels frame itself, so the per-round check is a scan of the
+already-materialized checkpoint blocks, not a new-vs-old join.
 
 Skew: the hub node of a big component concentrates its edges; AQE
 skew-join splitting handles the join; the groupBy uses partial
@@ -29,10 +37,23 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node
     id reachable. Undirected; self-loops and duplicates tolerated."""
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -40,11 +61,10 @@ def connected_components(
     )
     # symmetrize once; labels start as each node's own id
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
+    labels = cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -55,29 +75,27 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
+        new_labels = cut(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
+                # convergence flag carried inline: no new-vs-old join
+                (
+                    F.coalesce("nbr_component", "component") < F.col("component")
+                ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # cheap: scans the just-materialized checkpoint blocks only
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
         # propagate: a node's label may itself have been relabelled —
         # pointer-jump by joining labels on labels (min-label hashing)
-        jumped = (
+        labels = cut(
             labels.alias("l1")
             .join(
                 labels.select(
@@ -89,11 +107,9 @@ def connected_components(
             )
             .select(
                 "node",
-                F.least(F.col("component"), F.coalesce("parent", "component")).alias(
-                    "component"
-                ),
+                F.least(
+                    F.col("component"), F.coalesce("parent", "component")
+                ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
-        labels = jumped
     return labels

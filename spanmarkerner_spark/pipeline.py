@@ -9,11 +9,13 @@ pages(url, warc_ts, html, text, lang)
   -> extract_relations (pair self-join + broadcast pattern join)
   -> triples
 
-Partitioning: one explicit repartition on xxhash64(url) right after
-segmentation — every later stage is either narrow (tokenize, spread,
-score, decode) or joins on keys prefixed by url, so the single
-shuffle placement is deliberate (SURVEY.md §4 "explicit
-repartition(hash(url)) before scoring"). At 100 TB the same plan
+Partitioning: one explicit repartition on hash(url) on the PAGES
+frame, before segmentation — the segmentation window (partitionBy
+url) runs on that exchange instead of adding its own, its (url,
+sentence_id) sort doubles as the narrow decode's adjacency order, and
+every later stage is either narrow (tokenize, spread, score, decode)
+or joins on keys prefixed by url. The whole mentions plan is exactly
+one Exchange + one Sort (pinned by tests). At 100 TB the same plan
 holds: url-hash is ~uniform (no hot key), AQE splits stragglers, and
 the O(n*L) span blow-up happens after the shuffle, never through it.
 """
@@ -80,7 +82,6 @@ def run_pipeline(
     else:
         text_col = "text"
 
-    sentences = segment_sentences(pages, text_col=text_col)
     if num_partitions is None:
         # AQE coalesces the (byte-small) sentence shuffle down to 1-2
         # partitions, serializing the compute-dense UDF chain — pin the
@@ -97,11 +98,15 @@ def run_pipeline(
             # cores, so this cap is local-only.
             num_partitions = max(4, num_partitions // 2)
     if num_partitions:
-        # the single deliberate shuffle: co-locate a page's sentences
-        sentences = sentences.repartition(num_partitions, "url")
-        # repartition destroys the window sort; re-sort within
-        # partitions (narrow decode needs per-sentence adjacency)
-        sentences = sentences.sortWithinPartitions("url", "sentence_id")
+        # the single deliberate shuffle, BEFORE segmentation: the
+        # segment window (partitionBy url) then runs on this exchange
+        # instead of adding its own, and the window's (url,
+        # sentence_id) sort doubles as the narrow decode's adjacency
+        # order — one shuffle + one sort total where the previous plan
+        # had two of each (segment window exchange+sort, then
+        # repartition + sortWithinPartitions)
+        pages = pages.repartition(num_partitions, "url")
+    sentences = segment_sentences(pages, text_col=text_col)
 
     mentions = ner_mentions(
         sentences, cfg, gaz, context_window=doc_context_window

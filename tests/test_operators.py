@@ -346,3 +346,63 @@ def test_segment_blank_sentence_offsets(spark):
     df = spark.createDataFrame([("u1", text)], ["url", "text"])
     rows = {r.sentence: r.char_offset for r in segment_sentences(df).collect()}
     assert rows == {"alpha beta": 0, "gamma delta": text.find("gamma")}
+
+
+def test_minhash_xxhash_production_path(docs, spark):
+    """The xxhash production signature must find the same confirmed
+    near-dups as the md5 oracle path on the fixture, and high recall
+    vs the exact-verified n-gram Jaccard pairs on real documents
+    (LSH is probabilistic — band collisions differ per hash family)."""
+    from spanmarkerner_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    fast = {(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                              hash_fn="xxhash").collect()}
+    assert (0, 1) in fast and (0, 2) in fast
+    assert not any(4 in p or 5 in p for p in fast)
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(real, threshold=0.5).collect()}
+    found = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(real, jaccard_threshold=0.5, max_bucket=50,
+                               hash_fn="xxhash").collect()}
+    assert found <= exact                      # verification keeps it exact
+    if exact:
+        assert len(found & exact) / len(exact) >= 0.85
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    from spanmarkerner_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 20)],
+        ["src", "dst"],
+    )
+    exp = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10),
+           (20, 20)}
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == exp
+    got2 = {(r.node, r.component) for r in
+            connected_components(
+                edges, checkpoint_dir=str(tmp_path / "cc_ckpt")).collect()}
+    assert got2 == exp
+
+
+def test_pipeline_single_shuffle(spark):
+    """The mentions plan is exactly one Exchange and one Sort — the
+    segmentation window rides the pages repartition, and decode reuses
+    the window's (url, sentence_id) order."""
+    from spanmarkerner_spark import schemas as S
+    from spanmarkerner_spark.datagen import gen_pages
+    from spanmarkerner_spark.pipeline import run_pipeline
+
+    pages = spark.createDataFrame(gen_pages(10, seed=1), schema=S.PAGES)
+    plan = run_pipeline(pages, num_partitions=4)[
+        "mentions"
+    ]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 1
