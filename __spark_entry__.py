@@ -1296,6 +1296,104 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "ann_ivf_multiprobe",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi,
+             [CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END,
+              CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END,
+              CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END,
+              CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END] AS bits
+      FROM embeddings
+    ), cor AS (
+      SELECT vec_id, vi, array_to_string(list_transform(bits,
+               b -> CAST(b AS VARCHAR)), '') AS bucket
+      FROM base
+    ), q AS (
+      SELECT vec_id AS query_id, vi AS qq, unnest(list_distinct(
+               [array_to_string(list_transform(bits,
+                  b -> CAST(b AS VARCHAR)), '')] ||
+               list_transform(range(4), j -> array_to_string(
+                 list_transform(range(4), i ->
+                   CASE WHEN i = j THEN CAST(1 - bits[i + 1] AS VARCHAR)
+                        ELSE CAST(bits[i + 1] AS VARCHAR) END), ''))
+             )) AS bucket
+      FROM base WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(
+               CAST(list_sum(list_transform(list_zip(q.qq, c.vi),
+                                            p -> p[1] * p[2])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(q.qq, x -> x * x)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(c.vi, x -> x * x)) AS DOUBLE))),
+               6) AS cosine
+      FROM q JOIN cor c ON q.bucket = c.bucket
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF (operators/similarity.py:93-115 probe_buckets +
+    ivf_topk(multiprobe=1) semantics): each query probes its sign
+    bucket plus the 4 hamming-1 buckets — recall rises from ~0.3 to
+    ~0.7 at 5/16 of the scan. Same quantized-integer cosine as the
+    other ANN oracles."""
+    from pyspark.sql import Window
+
+    from spanmarkerner_spark.operators.similarity import probe_buckets
+
+    quant = "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+    from spanmarkerner_spark.operators.similarity import sign_bucket
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(quant).alias("vi"),
+        F.col("embedding"),
+    )
+    cor = base.select(
+        "vec_id", "vi", sign_bucket(F.col("embedding"), 4).alias("bucket")
+    )
+    q = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vi").alias("qq"),
+        F.explode(
+            F.array_distinct(probe_buckets(F.col("embedding"), 4, 1))
+        ).alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "vi", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    scored = F.broadcast(q).join(cor, "bucket").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(sq(F.col("qq")).cast("double")) * F.sqrt(sq(F.col("vi")).cast("double"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---- NER / KG pipeline (UDF-backed; rows-only checks) ------------------
 
 def _kg_input(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,3 +88,47 @@ def windowed_event_counts(
         "n",
         "total_value",
     )
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState over a
+    STREAMING events frame: per-user running (n_events, n_sessions)
+    where a gap > gap_minutes opens a new session — the stateful twin
+    of the batch events_sessionize query (same gap rule), emitted in
+    update mode per micro-batch.
+
+    Cross-batch correctness assumes per-user event-time-ordered
+    arrival across micro-batches (the append-log case); within a
+    micro-batch arrival order does not matter (events are sorted by
+    ts before folding into state).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = float(gap_minutes) * 60.0
+    out_schema = "user_id long, n_events long, n_sessions long"
+    state_schema = "last_ts double, n_events long, n_sessions long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, n_ev, n_sess = state.get
+        else:
+            last_ts, n_ev, n_sess = None, 0, 0
+        ts = []
+        for pdf in pdfs:
+            ts.extend(t.timestamp() for t in pdf["ts"])
+        ts.sort()
+        for t in ts:
+            if last_ts is None or t - last_ts > gap:
+                n_sess += 1
+            n_ev += 1
+            last_ts = t
+        state.update((last_ts, int(n_ev), int(n_sess)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n_ev], "n_sessions": [n_sess]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -406,3 +406,43 @@ def test_pipeline_single_shuffle(spark):
     ]._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_sessionize_stateful_matches_batch(spark):
+    """applyInPandasWithState sessionization over a one-batch stream
+    equals the batch window sessionization query."""
+    import __spark_entry__ as entrymod
+    from spanmarkerner_spark.streaming.ingest import sessionize_stateful
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        (r["user_id"], r["n_events"], r["n_sessions"])
+        for r in entrymod.queries()["events_sessionize"](spark, sf_dir).collect()
+    }
+
+    # file stream source needs a directory, not a single parquet file
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 10000)
+            .parquet(f"{tmp}/events")
+        )
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("sess_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["user_id"], r["n_events"], r["n_sessions"])
+            for r in spark.sql("SELECT * FROM sess_test").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
