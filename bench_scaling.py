@@ -41,7 +41,7 @@ if not os.path.exists(os.path.join(pages_pq, "_SUCCESS")):
 pages = spark.read.parquet(pages_pq)
 pages.count()  # warm: input listing + python workers
 t0 = time.time()
-res = run_pipeline(pages, use_extracted=False, persist_stages=True)
+res = run_pipeline(pages, use_extracted=False, persist_stages=False)
 n_triples = res["triples"].count()
 dt = time.time() - t0
 n_sent = res["sentences"].count()

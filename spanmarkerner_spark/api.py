@@ -75,6 +75,15 @@ class SpanMarkerSparkModel:
         for s in sentences:
             if not any(w.strip() for w in s):
                 raise ValueError("empty sentence in predict() input")
+        # this facade collects results to the driver by contract
+        # (ad-hoc interactive input, mirroring the reference's
+        # list-in/list-out predict); route bulk data through
+        # predict_df instead
+        if len(sentences) > 100_000:
+            raise ValueError(
+                f"predict() is the ad-hoc list facade (got {len(sentences)} "
+                "sentences); use predict_df(DataFrame) for bulk scoring"
+            )
 
         spark = self._spark or SparkSession.active()
         rows = [

@@ -160,3 +160,17 @@ def doc_fingerprint(text_col: Column | str, mod: int = 2_147_483_647) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + F.length(t) * 7 + F.ascii(t)) % mod,
     )
+
+
+def scrub_whitespace_tokens(tokens_col: Column | str) -> Column:
+    """P6 (spacy_integration.py:100,130): replace whitespace-only
+    tokens with '' IN PLACE — the index positions must survive so
+    word_start/word_end indices keep referring to the original token
+    sequence (the tokenizer's empty-word fallback encodes '' as one
+    piece). Pure JVM expression."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # rlike, not trim(): Spark trim() strips only ' ' — tabs/newlines
+    # would survive it
+    return F.transform(
+        c, lambda t: F.when(t.rlike("^\\s*$"), F.lit("")).otherwise(t)
+    )

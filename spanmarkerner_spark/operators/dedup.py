@@ -146,9 +146,12 @@ def minhash_lsh_pairs(
         )
     )
 
+    # the banded frame carries ONLY (id, bucket) — round 1 shipped the
+    # full shingle array through this exchange `bands` times per doc,
+    # which dominates shuffle bytes at scale; shingles are re-attached
+    # below for just the docs that survive into candidate pairs
     banded = base.select(
         "id",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -162,18 +165,24 @@ def minhash_lsh_pairs(
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     ).filter(F.col("bsz") <= max_bucket)
 
-    a = sized.select("bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sized.select("bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sized.select("bucket", F.col("id").alias("id_a"))
+    b = sized.select("bucket", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    sets = base.select("id", "sh")
+    joined = pairs.join(
+        sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+    ).join(
+        sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        joined.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -133,9 +133,14 @@ def spread_stats(spread_df: DataFrame) -> tuple[DataFrame, Observation]:
     """A7: physical-sample count via observe() — metrics ride the next
     action instead of costing their own count()s."""
     obs = Observation("spread_stats")
+    # observed metrics reject DISTINCT aggregates
+    # (INVALID_OBSERVED_METRICS); approx_count_distinct is the
+    # supported form and is exact at these cardinalities' error bounds
     observed = spread_df.observe(
         obs,
         F.count(F.lit(1)).alias("physical_samples"),
-        F.count_distinct("url", "sentence_id").alias("logical_sentences"),
+        F.approx_count_distinct(
+            F.concat_ws("|", "url", "sentence_id")
+        ).alias("logical_sentences"),
     )
     return observed, obs

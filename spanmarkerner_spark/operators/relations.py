@@ -56,7 +56,14 @@ def extract_relations(
         grouped.withColumn("pair", F.explode(pairs_expr))
         .select("url", "sentence_id", "pair.*")
     )
-    toks = sentences.select("url", "sentence_id", "tokens")
+    # the sentences side is NEVER broadcastable (it is the corpus):
+    # without the hint Catalyst's size guess for the
+    # explode-after-exchange subtree can come in under the broadcast
+    # threshold and plan a driver-side broadcast build of every
+    # sentence's token array — measured 14s of the 42s e2e at 216k
+    # sentences, and a driver OOM at real scale. Sort-merge on
+    # (url, sentence_id) shuffles both (thin) sides instead.
+    toks = sentences.select("url", "sentence_id", "tokens").hint("merge")
     phrased = (
         pairs.join(toks, ["url", "sentence_id"])
         .withColumn(

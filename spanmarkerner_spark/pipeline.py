@@ -88,15 +88,21 @@ def run_pipeline(
         # parallelism explicitly (explicit repartition is exempt from
         # AQE coalescing). Page text bytes vastly underestimate the
         # O(words * entity_max_length) scoring work per row.
+        # local-mode python-worker sizing, re-measured for the FUSED
+        # single-UDF path (one worker per task) on the saturating
+        # 216k-sentence input, best-of trials:
+        #   parts=cores:   4c 46s / 8c 24s / 16c 17-54s (bimodal) /
+        #                  32c 92s (collapse: 73 sent/s/worker vs 1100
+        #                  at <=8 workers — worker+JVM thread count
+        #                  crosses the box's stable share)
+        #   parts=cores/2: 16c 26-30s / 32c 17.8s (stable)
+        # -> full width up to 8 cores, half width above. On a real
+        # cluster executors are sized per node and this cap is
+        # irrelevant (defaultParallelism is the cluster width).
         num_partitions = spark.sparkContext.defaultParallelism
         if spark.sparkContext.master.startswith("local"):
-            # in local mode every UDF task is a JVM thread + a python
-            # worker PAIR on the same box; running cores-many tasks
-            # doubles the active thread count and measured 2-6x WORSE
-            # (37.8s @ 16 parts vs 185s @ 32 parts on local[32]).
-            # Cluster executors size python workers into executor
-            # cores, so this cap is local-only.
-            num_partitions = max(4, num_partitions // 2)
+            cores_n = num_partitions
+            num_partitions = cores_n if cores_n <= 8 else max(4, cores_n // 2)
     if num_partitions:
         # the single deliberate shuffle, BEFORE segmentation: the
         # segment window (partitionBy url) then runs on this exchange

@@ -94,3 +94,29 @@ def write_stage(
 
 def read_stage(spark: SparkSession, base_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base_dir, stage))
+
+
+def metrics_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_metrics")
+
+
+def write_metrics(
+    spark: SparkSession, base_dir: str, stage: str, run_id: str,
+    metrics: dict[str, float],
+) -> None:
+    """S6 metrics sink: append one row per metric to the run's metrics
+    table (the reference's metrics dict, persisted). Pairs with
+    operators.metrics.spread_stats: pass an Observation's .get after
+    the action that rode it."""
+    rows = [
+        (stage, k, float(v), run_id) for k, v in sorted(metrics.items())
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.METRICS)
+    df.coalesce(1).write.mode("append").parquet(metrics_path(base_dir))
+
+
+def read_metrics(spark: SparkSession, base_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(schemas.METRICS).parquet(metrics_path(base_dir))
+    except Exception:
+        return spark.createDataFrame([], schema=schemas.METRICS)

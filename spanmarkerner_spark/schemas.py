@@ -158,3 +158,13 @@ LINEAGE = T.StructType(
         T.StructField("run_id", T.StringType(), False),
     ]
 )
+
+# ---- metrics sink (S6: per-run metric rows appended to a table) -------
+METRICS = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("run_id", T.StringType(), False),
+    ]
+)

@@ -446,3 +446,55 @@ def test_sessionize_stateful_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_metrics_sink_roundtrip(spark, tmp_path):
+    """S6: observation metrics land in the _metrics table and read
+    back typed."""
+    from spanmarkerner_spark.operators.metrics import spread_stats
+    from spanmarkerner_spark.plans.lineage import read_metrics, write_metrics
+
+    base = str(tmp_path / "kg")
+    ev = spark.createDataFrame(
+        [("u1", 0), ("u1", 1), ("u2", 0)], ["url", "sentence_id"]
+    )
+    observed, obs = spread_stats(ev)
+    observed.count()  # the action the observation rides
+    write_metrics(spark, base, "spread", "run1", obs.get)
+    got = {
+        (r["stage"], r["metric"]): r["value"]
+        for r in read_metrics(spark, base).collect()
+    }
+    assert got[("spread", "physical_samples")] == 3.0
+    assert got[("spread", "logical_sentences")] == 3.0
+    # append semantics: a second run adds rows, never overwrites
+    write_metrics(spark, base, "spread", "run2", {"physical_samples": 5})
+    assert read_metrics(spark, base).count() == 3
+
+
+def test_scrub_whitespace_tokens_keeps_alignment(spark):
+    """P6: whitespace-only tokens become '' in place (index-stable,
+    spacy_integration.py:100), and NER over scrubbed tokens keeps
+    word indices referring to the original sequence."""
+    from spanmarkerner_spark import schemas as S
+    from spanmarkerner_spark.datagen import gazetteer
+    from spanmarkerner_spark.functions.text import scrub_whitespace_tokens
+    from spanmarkerner_spark.operators.ner import ner_mentions
+
+    df = spark.createDataFrame([(["a", " \t", "b"],)], ["tokens"])
+    out = df.select(scrub_whitespace_tokens("tokens").alias("t")).collect()
+    assert out[0]["t"] == ["a", "", "b"]
+
+    cfg = SpanMarkerConfig(labels=KG_LABELS)
+    gaz = dict(gazetteer(cfg))
+    ent = next(iter(gaz))  # a single- or multi-word gazetteer surface
+    words = ["filler", " ", *ent.split(" "), "tail"]
+    sents = spark.createDataFrame(
+        [("u1", 0, " ".join(words), words, 0)], schema=S.SENTENCES
+    )
+    scrubbed = sents.withColumn("tokens", scrub_whitespace_tokens("tokens"))
+    ms = ner_mentions(scrubbed, cfg, gaz).collect()
+    spans = {(m["span"], m["word_start_index"], m["word_end_index"]) for m in ms}
+    # the entity starts at index 2: the scrubbed-but-present '' token
+    # still occupies index 1
+    assert (ent, 2, 2 + len(ent.split(" "))) in spans
