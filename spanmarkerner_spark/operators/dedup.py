@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spanmarkerner_spark.functions.hashing import portable_hash64
+from spanmarkerner_spark.session import ensure_min_parallelism
 
 
 def _norm_text(col):
@@ -135,6 +136,7 @@ def minhash_lsh_pairs(
     better handled by exact dedup upstream.
     """
     rows_per_band = num_hashes // bands
+    docs = ensure_min_parallelism(docs)
     base = (
         docs.select(
             F.col(id_col).alias("id"),
@@ -226,6 +228,7 @@ def ngram_jaccard_pairs(
     """Near-dup pairs via a shared-shingle inverted index + exact
     Jaccard verify. Posting lists longer than max_posting are dropped
     (stop-shingle cut) to bound the pair blow-up."""
+    docs = ensure_min_parallelism(docs)
     base = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
@@ -266,6 +269,7 @@ def embedding_near_dup_pairs(
     `bucket_dims` dimensions (cheap random-hyperplane stand-in since
     the vectors are already dense features), exact cosine verify
     within buckets. Output (id_a, id_b, cosine)."""
+    emb = ensure_min_parallelism(emb)
     sign_key = F.concat_ws(
         "",
         *[

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spanmarkerner_spark.session import ensure_min_parallelism
+
 
 def _cosine(va, vb):
     dot = F.aggregate(
@@ -42,6 +44,7 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
+    corpus = ensure_min_parallelism(corpus)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = q.crossJoin(c).select(
         "query_id",
@@ -134,6 +137,7 @@ def ivf_topk(
     vs brute force depends on bucket_dims/multiprobe; callers trade
     recall for scan.
     """
+    corpus = ensure_min_parallelism(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

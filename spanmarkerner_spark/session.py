@@ -87,3 +87,23 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
     return spark
+
+
+def ensure_min_parallelism(df, min_partitions: int | None = None):
+    """Repartition a DataFrame ONLY if its scan is under-split.
+
+    The dedup/similarity operators start with compute-dense per-row
+    expression chains (shingling, signatures, quantized cosines) whose
+    CPU cost per byte is orders of magnitude above a typical SQL scan —
+    the same imbalance that motivates the NER pipeline's explicit
+    repartition. A small parquet input (one 128MB split) would run
+    those chains single-threaded on a 32-core session. At 100 TB the
+    scan has plenty of splits and this is a NO-OP — no extra shuffle
+    is ever added to a well-split input.
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df

@@ -35,6 +35,8 @@ def _normalize(val):
     if val is None:
         return None
     if isinstance(val, float):
+        if math.isnan(val):
+            return None  # pandas materializes SQL NULL as nan
         return round(val, 6)
     try:
         import decimal
@@ -70,10 +72,12 @@ def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     sdf = q(spark, SF_DIR)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
+    srows = [tuple(r) for r in spdf.itertuples(index=False)]
     res = duck.execute(entrymod.oracle_sql()[name])
     dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dkdf = res.df()
+    drows = dkdf.values.tolist()
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
     s_set, _ = _rowset(scols, srows)
     d_set, _ = _rowset(dcols, drows)
@@ -82,6 +86,15 @@ def test_query_matches_oracle(spark, duck, name):
         (a, b) for a, b in zip(s_set, d_set) if not _rows_equal(a, b)
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    # the driver's gate is STRICTER than tolerant value equality: it
+    # hashes the canonicalized *materialized pandas frames* — enforce
+    # the same here so dtype drift (DECIMAL/HUGEINT/timestamp-unit)
+    # fails in CI and not only in tools/strict_check.py
+    from tools.strict_check import frame_info
+
+    _, hs = frame_info(spdf)
+    _, hd = frame_info(dkdf)
+    assert hs == hd, f"{name}: canonical frame hash mismatch {hs} vs {hd}"
 
 
 def _rows_equal(a, b):
