@@ -944,6 +944,84 @@ def agg_pivot(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_embedding",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.vi AS va, b.vi AS vb
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(
+             CAST(list_sum(list_transform(list_zip(va, vb), p -> p[1] * p[2])) AS DOUBLE) /
+             (sqrt(CAST(list_sum(list_transform(va, x -> x * x)) AS DOUBLE)) *
+              sqrt(CAST(list_sum(list_transform(vb, x -> x * x)) AS DOUBLE))),
+             6) AS cosine
+    FROM pairs
+    WHERE round(
+             CAST(list_sum(list_transform(list_zip(va, vb), p -> p[1] * p[2])) AS DOUBLE) /
+             (sqrt(CAST(list_sum(list_transform(va, x -> x * x)) AS DOUBLE)) *
+              sqrt(CAST(list_sum(list_transform(vb, x -> x * x)) AS DOUBLE))),
+             6) >= 0.5
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup (operators/dedup.py
+    embedding_near_dup_pairs semantics): sign-bucket LSH candidates +
+    exact cosine verify, here with the quantized-integer cosine so
+    DuckDB reproduces values bit-for-bit."""
+    quant = "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            for i in range(4)
+        ],
+    )
+    base = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.expr(quant).alias("vi"), bucket.alias("bucket")
+    )
+    pairs = (
+        base.alias("x")
+        .join(base.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.vi").alias("va"),
+            F.col("y.vi").alias("vb"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(sq(F.col("va")).cast("double")) * F.sqrt(sq(F.col("vb")).cast("double"))),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ---- model card (A3+A4+O3 composed; model_card.py:262-334) ------------
 
 @_q(

@@ -183,3 +183,80 @@ def ivf_topk(
         F.col("t.cos").alias("cosine"),
         (F.col("pos") + 1).alias("rank"),
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    bucket_dims: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus written PARTITIONED BY bucket
+    (the sign quantizer), so queries read only their probe buckets'
+    directories — on a 100 TB corpus an equality/IN filter on `bucket`
+    becomes partition pruning at the source instead of a scan."""
+    corpus.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_dims: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN over a write_ivf_index table. The probe buckets of the
+    (small, broadcastable by contract) query set are collected and
+    pushed as a literal IN filter, which parquet partition pruning
+    turns into reading only those bucket directories — check
+    .explain(): the scan shows PartitionFilters on `bucket`.
+    """
+    q_probed = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.array_distinct(probe_buckets(F.col(vec_col), bucket_dims, multiprobe))
+        ).alias("bucket"),
+    )
+    # literal bucket set -> partition pruning at the scan (queries are
+    # small by contract; this collect is bounded by 2^bucket_dims)
+    buckets = [r["bucket"] for r in q_probed.select("bucket").distinct().collect()]
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
+    )
+    scored = F.broadcast(q_probed).join(idx, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    agg = scored.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cosine")).alias("neg"),
+                        F.col("neighbor_id").alias("nid"),
+                        F.col("cosine").alias("cos"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return agg.select("query_id", F.posexplode("top").alias("pos", "t")).select(
+        "query_id",
+        F.col("t.nid").alias("neighbor_id"),
+        F.col("t.cos").alias("cosine"),
+        (F.col("pos") + 1).alias("rank"),
+    )
