@@ -68,10 +68,18 @@ def write_stage(
     run_id: str,
     key_col: str = "url",
     n_buckets: int = N_BUCKETS_DEFAULT,
+    processed_input: DataFrame | None = None,
 ) -> None:
     """Write df as the stage table partitioned by partition_key with
     dynamic partition overwrite (idempotent per bucket), then record
-    lineage rows (one per written partition)."""
+    lineage rows.
+
+    processed_input: the INPUT frame this stage consumed (must carry
+    key_col). When given, lineage marks every input bucket done —
+    including buckets whose output is EMPTY (rows_out=0). Without it,
+    lineage is derived from the written output only, and a bucket
+    that legitimately produced zero rows would be re-processed by
+    every resume forever."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     keyed = with_partition_key(df, key_col, n_buckets)
@@ -79,15 +87,23 @@ def write_stage(
     keyed.write.mode("overwrite").partitionBy("partition_key").parquet(out)
     # lineage from what actually landed (read-back = write-audit too)
     written = spark.read.parquet(out)
-    lin = (
-        written.groupBy("partition_key")
-        .agg(F.count(F.lit(1)).alias("rows_out"))
-        .select(
-            F.lit(stage).alias("stage"),
-            F.col("partition_key"),
-            F.col("rows_out"),
-            F.lit(run_id).alias("run_id"),
+    counts = written.groupBy("partition_key").agg(
+        F.count(F.lit(1)).alias("rows_out")
+    )
+    if processed_input is not None:
+        in_keys = (
+            with_partition_key(processed_input, key_col, n_buckets)
+            .select("partition_key")
+            .distinct()
         )
+        counts = in_keys.join(counts, "partition_key", "left").select(
+            "partition_key", F.coalesce("rows_out", F.lit(0)).alias("rows_out")
+        )
+    lin = counts.select(
+        F.lit(stage).alias("stage"),
+        F.col("partition_key"),
+        F.col("rows_out"),
+        F.lit(run_id).alias("run_id"),
     )
     lin.write.mode("append").parquet(lineage_path(base_dir))
 

@@ -27,6 +27,11 @@ def ship_package(spark: SparkSession) -> None:
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip: spark-submit --py-files already
+        # distributed exactly this archive to every executor
+        _SHIPPED.add(key)
+        return
     tmp = tempfile.mkdtemp(prefix="smns_pyfiles_")
     zip_path = shutil.make_archive(
         os.path.join(tmp, "spanmarkerner_spark_pkg"),
