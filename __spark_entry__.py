@@ -1528,6 +1528,24 @@ def kg_triples(spark, sf_dir):
     return res["triples"]
 
 
+@_q("kg_triples_canonical")
+def kg_triples_canonical(spark, sf_dir):
+    """Full pipeline with canonicalize=True: entity ids rewritten
+    through connected components over alias-dictionary ambiguity
+    edges (the north_rule canonicalization stage inside the KG flow;
+    semantics pinned by tests/test_skew_canonical.py)."""
+    ship_package(spark)
+    from spanmarkerner_spark.pipeline import run_pipeline
+
+    res = run_pipeline(
+        _kg_input(spark, sf_dir),
+        use_extracted=False,
+        persist_stages=True,
+        canonicalize=True,
+    )
+    return res["triples"]
+
+
 @_q(
     "multimodal_features",
     """

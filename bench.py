@@ -50,8 +50,19 @@ def main() -> None:
     # warm the python workers once (JVM + worker spawn out of the timings)
     qs["u3_spread"](spark, sf_dir).count()
 
+    def timed(fn):
+        # the host is shared: co-tenant load waves inflate single-shot
+        # timings up to 10x (measured cc_components 4.6s vs 40.1s same
+        # code same day) — report best-of-2
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
     for name in HEADLINE:
-        t0 = time.time()
         if name == "dedup_minhash":
             # bench the PRODUCTION signature path (seeded xxhash64);
             # the md5 'portable' variant exists only so the driver's
@@ -59,17 +70,18 @@ def main() -> None:
             # evaluations per shingle
             from spanmarkerner_spark.operators.dedup import minhash_lsh_pairs
 
-            minhash_lsh_pairs(
-                E._t(spark, sf_dir, "documents"),
-                num_hashes=16,
-                bands=4,
-                jaccard_threshold=0.5,
-                max_bucket=50,
-                hash_fn="xxhash",
-            ).count()
+            times[name] = timed(
+                lambda: minhash_lsh_pairs(
+                    E._t(spark, sf_dir, "documents"),
+                    num_hashes=16,
+                    bands=4,
+                    jaccard_threshold=0.5,
+                    max_bucket=50,
+                    hash_fn="xxhash",
+                ).count()
+            )
         else:
-            qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+            times[name] = timed(lambda: qs[name](spark, sf_dir).count())
 
     # end-to-end KG pipeline (documents-as-pages + synthetic signal pages)
     from spanmarkerner_spark import schemas
@@ -90,10 +102,13 @@ def main() -> None:
     # persist_stages=False for the timed run: linked has exactly one
     # consumer in the triples DAG, so caching it only adds
     # materialization cost (~25% of e2e measured) to the timed action
-    t0 = time.time()
-    res = run_pipeline(pages, use_extracted=False, persist_stages=False)
-    n_triples = res["triples"].count()
-    kg_sec = round(time.time() - t0, 3)
+    kg_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        res = run_pipeline(pages, use_extracted=False, persist_stages=False)
+        n_triples = res["triples"].count()
+        dt = round(time.time() - t0, 3)
+        kg_sec = dt if kg_sec is None or dt < kg_sec else kg_sec
     # stat counts AFTER the timed window (sentences recompute is
     # cheap codegen; linked re-runs NER but is untimed)
     n_sentences = res["sentences"].count()
