@@ -532,3 +532,37 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     import os
     all_buckets = {d for d in os.listdir(path) if d.startswith("bucket=")}
     assert len(all_buckets) > 5  # 2^4 possible; enough data to populate
+
+
+def test_cobucketed_join_no_shuffle(spark, tmp_path):
+    """Both sides written bucketed by the join key with equal bucket
+    counts -> the join plans with ZERO Exchange (co-located buckets);
+    the plain-parquet join of the same data needs shuffles."""
+    from spanmarkerner_spark.plans.bucketing import (
+        bucket_table_path,
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    write_bucketed(orders, "b_orders", "o_custkey", 8,
+                   bucket_table_path(str(tmp_path), "orders"))
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "b_customer",
+        "o_custkey", 8, bucket_table_path(str(tmp_path), "customer"))
+    try:
+        joined = cobucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan[:2000]
+        # same rows as the plain join
+        plain = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        )
+        assert joined.count() == plain.count()
+        # and the plain-parquet join does shuffle (both sides)
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert pplan.count("Exchange") >= 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
