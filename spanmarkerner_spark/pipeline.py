@@ -55,6 +55,7 @@ def run_pipeline(
     persist_stages: bool = False,
     gaz: dict[str, int] | None = None,
     doc_context_window: int = 0,
+    dedupe_pages: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns the named intermediate tables; 'triples' is the output.
 
@@ -112,6 +113,25 @@ def run_pipeline(
         # had two of each (segment window exchange+sort, then
         # repartition + sortWithinPartitions)
         pages = pages.repartition(num_partitions, "url")
+    if dedupe_pages:
+        # url is the document key (north_rule: byte-identical text PER
+        # URL) — but raw crawls re-crawl urls, and two pages sharing a
+        # url collide in every (url, sentence_id)-keyed stage (the
+        # decode regroup crashes on mismatched sentence bodies;
+        # found by a duplicate-url stress input). Keep exactly one row
+        # per url, deterministically: newest warc_ts, content-hash
+        # tiebreak. The window partitionBy url rides the repartition
+        # above — no extra shuffle.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(
+            F.desc_nulls_last("warc_ts"), F.asc(F.xxhash64(F.col(text_col)))
+        )
+        pages = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     sentences = segment_sentences(pages, text_col=text_col)
 
     mentions = ner_mentions(

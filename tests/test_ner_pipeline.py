@@ -178,3 +178,21 @@ def test_fused_matches_staged(pages_df):
     fused = {key(r) for r in ner_mentions(sents, cfg, gaz, fused=True).collect()}
     staged = {key(r) for r in ner_mentions(sents, cfg, gaz, fused=False).collect()}
     assert fused == staged
+
+
+def test_duplicate_urls_deduped_deterministically(spark, pages_rows):
+    """Raw crawls re-crawl urls; duplicate (url, sentence_id) keys
+    must not collide in the decode regroup (found by a stress input:
+    IndexError on mismatched sentence bodies). The pipeline keeps one
+    page per url — newest warc_ts, content-hash tiebreak — so a
+    corpus with every page duplicated yields exactly the original
+    triples."""
+    doubled = spark.createDataFrame(
+        pages_rows + pages_rows, schema=schemas.PAGES
+    )
+    base = {tuple(r) for r in run_pipeline(
+        spark.createDataFrame(pages_rows, schema=schemas.PAGES),
+        num_partitions=8)["triples"].collect()}
+    got = {tuple(r) for r in run_pipeline(
+        doubled, num_partitions=8)["triples"].collect()}
+    assert got == base
