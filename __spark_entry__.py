@@ -657,6 +657,59 @@ def events_windowed(spark, sf_dir):
     )
 
 
+@_q(
+    "asof_join_events",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), pur AS (
+      SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id,
+           coalesce(p.p_event_id, -1)::BIGINT AS p_event_id,
+           coalesce(p.p_value, -1.0) AS p_value
+    FROM clicks c ASOF LEFT JOIN pur p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (operators/asof.py): each click matched to the
+    latest prior-or-equal purchase of the same user. Spark side is the
+    union+window carry (one shuffle, no inequality join); the oracle
+    is DuckDB's NATIVE ASOF JOIN — two independent implementations of
+    the same semantics."""
+    from pyspark.sql import Window
+
+    from spanmarkerner_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    wdd = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(wdd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("p_event_id"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    out = asof_join(clicks, pur, "user_id", "ts", ["p_event_id", "p_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("asof_p_event_id", F.lit(-1)).alias("p_event_id"),
+        F.coalesce("asof_p_value", F.lit(-1.0)).alias("p_value"),
+    )
+
+
 # ---- spread / span enumeration (U3, F2) -------------------------------
 
 _SPREAD_SQL = """

@@ -566,3 +566,33 @@ def test_cobucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: latest right row with ts <= left ts per key; equal
+    ts matches; ties among right rows at one ts -> greatest tiebreak;
+    no prior right row -> nulls."""
+    import datetime as dt
+
+    from spanmarkerner_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0), 100), (1, T(2024, 1, 1, 11, 0), 101),
+         (2, T(2024, 1, 1, 9, 0), 200)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 30), 7, 1.5),
+         (1, T(2024, 1, 1, 10, 0), 8, 2.5),
+         (1, T(2024, 1, 1, 10, 0), 6, 9.9),   # same ts, smaller tiebreak
+         (1, T(2024, 1, 1, 10, 30), 9, 3.5)],
+        "user_id long, ts timestamp, p_id long, value double",
+    )
+    out = {
+        r["event_id"]: (r["asof_p_id"], r["asof_value"])
+        for r in asof_join(left, right, "user_id", "ts", ["p_id", "value"]).collect()
+    }
+    assert out[100] == (8, 2.5)     # equal-ts match, max tiebreak wins
+    assert out[101] == (9, 3.5)     # latest prior
+    assert out[200] == (None, None)  # nothing precedes
