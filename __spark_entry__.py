@@ -710,6 +710,55 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+@_q(
+    "range_join_events",
+    """
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ), windows AS (
+      SELECT event_id AS purchase_id, user_id,
+             ts - INTERVAL 30 MINUTE AS start_ts, ts AS end_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT w.purchase_id, c.click_id, c.user_id,
+           -- floor, not ::BIGINT (which rounds): Spark unix_timestamp
+           -- truncates sub-second parts
+           (CAST(floor(epoch(w.end_ts)) AS BIGINT)
+            - CAST(floor(epoch(c.ts)) AS BIGINT)) AS gap_seconds
+    FROM clicks c JOIN windows w
+      ON c.user_id = w.user_id AND c.ts BETWEEN w.start_ts AND w.end_ts
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Range join (operators/ranges.py): clicks inside the 30 minutes
+    before each purchase of the same user. Spark side is the
+    bucketized equi-join (no inequality-join product); the oracle is
+    the plain BETWEEN join in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    from spanmarkerner_spark.operators.ranges import bucketized_range_join
+
+    out = bucketized_range_join(clicks, windows, "user_id")
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_timestamp("end_ts").cast("long")
+            - F.unix_timestamp("ts").cast("long")
+        ).alias("gap_seconds"),
+    )
+
+
 # ---- spread / span enumeration (U3, F2) -------------------------------
 
 _SPREAD_SQL = """

@@ -596,3 +596,29 @@ def test_asof_join_semantics(spark):
     assert out[100] == (8, 2.5)     # equal-ts match, max tiebreak wins
     assert out[101] == (9, 3.5)     # latest prior
     assert out[200] == (None, None)  # nothing precedes
+
+
+def test_bucketized_range_join_matches_naive(spark):
+    """bucketized_range_join == the naive BETWEEN join, including
+    intervals spanning multiple buckets and boundary-inclusive ends."""
+    import datetime as dt
+
+    from spanmarkerner_spark.operators.ranges import bucketized_range_join
+
+    T = dt.datetime
+    points = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0), 1), (1, T(2024, 1, 1, 12, 0), 2),
+         (1, T(2024, 1, 1, 9, 59), 3), (2, T(2024, 1, 1, 10, 0), 4)],
+        "user_id long, ts timestamp, pid long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 13, 0), 10),   # 3h: spans buckets
+         (2, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 0), 20)],  # zero-width
+        "user_id long, start_ts timestamp, end_ts timestamp, iid long",
+    )
+    fast = {(r["pid"], r["iid"]) for r in
+            bucketized_range_join(points, intervals, "user_id").collect()}
+    naive = {(r["pid"], r["iid"]) for r in
+             points.join(intervals, "user_id")
+             .filter("ts >= start_ts AND ts <= end_ts").collect()}
+    assert fast == naive == {(1, 10), (2, 10), (4, 20)}
