@@ -405,7 +405,15 @@ def test_pipeline_single_shuffle(spark):
         "mentions"
     ]._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
-    assert plan.count("Sort ") == 1
+    # two partition-local sorts ride that one exchange: the url-dedupe
+    # window (pages level) and the segmentation window (whose order
+    # doubles as decode adjacency)
+    assert plan.count("Sort ") == 2
+    plan_nodedupe = run_pipeline(pages, num_partitions=4, dedupe_pages=False)[
+        "mentions"
+    ]._jdf.queryExecution().executedPlan().toString()
+    assert plan_nodedupe.count("Exchange") == 1
+    assert plan_nodedupe.count("Sort ") == 1
 
 
 def test_sessionize_stateful_matches_batch(spark):
