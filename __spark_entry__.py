@@ -759,6 +759,87 @@ def range_join_events(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_hypertable_rollup",
+    """
+    -- continuous-aggregate cascade: hour re-aggregates the MINUTE
+    -- table (sums/counts compose; min/max compose); raw events are
+    -- scanned exactly once
+    WITH minute AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS bucket, event_type,
+             count(*) AS n,
+             sum(CAST(round(value * 1000000) AS BIGINT)) AS v_micro,
+             min(CAST(round(value * 1000000) AS BIGINT)) AS v_min_micro,
+             max(CAST(round(value * 1000000) AS BIGINT)) AS v_max_micro
+      FROM events GROUP BY 1, 2
+    ), hour AS (
+      SELECT time_bucket(INTERVAL '1 hour', bucket) AS bucket, event_type,
+             sum(n)::BIGINT AS n, sum(v_micro)::BIGINT AS v_micro,
+             min(v_min_micro) AS v_min_micro, max(v_max_micro) AS v_max_micro
+      FROM minute GROUP BY 1, 2
+    ), day AS (
+      SELECT time_bucket(INTERVAL '1 day', bucket) AS bucket, event_type,
+             sum(n)::BIGINT AS n, sum(v_micro)::BIGINT AS v_micro,
+             min(v_min_micro) AS v_min_micro, max(v_max_micro) AS v_max_micro
+      FROM hour GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket::TIMESTAMP_NS AS bucket, event_type,
+           n, v_micro::BIGINT / 1000000.0 AS total_value,
+           v_min_micro::BIGINT / 1000000.0 AS min_value,
+           v_max_micro::BIGINT / 1000000.0 AS max_value
+    FROM hour
+    UNION ALL
+    SELECT 'day' AS grain, bucket::TIMESTAMP_NS AS bucket, event_type,
+           n, v_micro::BIGINT / 1000000.0 AS total_value,
+           v_min_micro::BIGINT / 1000000.0 AS min_value,
+           v_max_micro::BIGINT / 1000000.0 AS max_value
+    FROM day
+    """,
+)
+def agg_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: minute -> hour -> day,
+    each coarser grain RE-AGGREGATING the finer one (composable
+    partials: sum/count/min/max) instead of rescanning raw events —
+    at 100 TB the raw table is read once and the cascade runs over
+    ever-smaller aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000).cast("long")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micro).alias("v_micro"),
+        F.min(micro).alias("v_min_micro"),
+        F.max(micro).alias("v_max_micro"),
+    )
+
+    def coarsen(df, grain):
+        return df.groupBy(
+            F.date_trunc(grain, "bucket").alias("bucket"), "event_type"
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("v_micro").alias("v_micro"),
+            F.min("v_min_micro").alias("v_min_micro"),
+            F.max("v_max_micro").alias("v_max_micro"),
+        )
+
+    hour = coarsen(minute, "hour")
+    day = coarsen(hour, "day")
+
+    def finish(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            "n",
+            (F.col("v_micro") / 1000000.0).alias("total_value"),
+            (F.col("v_min_micro") / 1000000.0).alias("min_value"),
+            (F.col("v_max_micro") / 1000000.0).alias("max_value"),
+        )
+
+    return finish(hour, "hour").unionByName(finish(day, "day"))
+
+
 # ---- spread / span enumeration (U3, F2) -------------------------------
 
 _SPREAD_SQL = """
@@ -964,6 +1045,51 @@ def dedup_simhash(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .filter(F.size(tokens_ws("text")) > 0)
         .select("doc_id", simhash64(F.col("text")).alias("sig"))
+    )
+
+
+@_q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLE_TOKENS_SQL} AS tk FROM documents
+    ), th AS (
+      SELECT doc_id,
+             list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs,
+             len(tk) AS n
+      FROM toks WHERE len(tk) > 0
+    ), bits AS (
+      SELECT doc_id, i.i,
+             CASE WHEN 2 * len(list_filter(hs, h -> (h // (1::BIGINT << i.i)) % 2 = 1)) >= n
+                  THEN (1::BIGINT << i.i) ELSE 0::BIGINT END AS bitval
+      FROM th, (SELECT unnest(range(60)) AS i) i
+    ), sigs AS (
+      SELECT doc_id AS id, sum(bitval)::BIGINT AS sig FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT id, sig, b.band,
+             (sig // CAST(pow(2, b.band * 15) AS BIGINT)) % 32768 AS band_bits
+      FROM sigs, (SELECT unnest(range(4)) AS band) b
+    ), capped AS (
+      SELECT * FROM (
+        SELECT id, sig, band, band_bits,
+               count(*) OVER (PARTITION BY band, band_bits) AS bsz
+        FROM banded) WHERE bsz <= 200
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+    FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (banded hamming LSH + bit_count verify;
+    complete for hamming < bands by pigeonhole)."""
+    from spanmarkerner_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bands=4, max_bucket=200
     )
 
 

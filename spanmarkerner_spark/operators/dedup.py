@@ -304,3 +304,59 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signatures banded into `bands`
+    equal bit-slices; docs sharing ANY band bucket are candidates;
+    verify hamming(sig_a, sig_b) <= max_hamming with bit_count(xor).
+
+    Completeness: a pair at hamming <= bands-1 differs in fewer bits
+    than there are bands, so (pigeonhole) at least one band is
+    IDENTICAL — banding finds every such pair. max_hamming must
+    therefore be < bands for exact recall; the hot-bucket cap bounds
+    the quadratic inside any one bucket (same rationale as
+    minhash_lsh_pairs).
+    """
+    docs = ensure_min_parallelism(docs)
+    bits_per_band = 60 // bands
+    base = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .filter(F.size(F.split(_norm_text(F.col("_t")), " ")) > 0)
+        .select("id", simhash64(F.col("_t")).alias("sig"))
+    )
+    banded = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
+                f"(sig div cast(pow(2, b * {bits_per_band}) as bigint)) "
+                f"% {2 ** bits_per_band} as band_bits))"
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band"), F.col("bb.band_bits"))
+    sized = banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "band_bits"))
+    ).filter(F.col("bsz") <= max_bucket)
+    a = sized.select("band", "band_bits", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sized.select("band", "band_bits", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        pairs.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -630,3 +630,13 @@ def test_bucketized_range_join_matches_naive(spark):
              points.join(intervals, "user_id")
              .filter("ts >= start_ts AND ts <= end_ts").collect()}
     assert fast == naive == {(1, 10), (2, 10), (4, 20)}
+
+
+def test_simhash_near_dup_pairs(docs):
+    """Exact/ws-case dups at hamming 0; unrelated docs absent."""
+    from spanmarkerner_spark.operators.dedup import simhash_near_dup_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 0 and got[(1, 2)] == 0
+    assert not any(4 in p or 5 in p for p in got)
