@@ -1700,7 +1700,34 @@ def ann_ivf_multiprobe(spark, sf_dir):
     )
 
 
-# ---- NER / KG pipeline (UDF-backed; rows-only checks) ------------------
+# ---- NER / KG pipeline (UDF-backed, fixture-oracled) -------------------
+#
+# The DuckDB oracle for these reads expected-output parquet fixtures
+# generated ONCE by the single-process reference-semantics oracle
+# (spanmarkerner_spark/oracle.py, mirroring span_marker/modeling.py:
+# 354-578) over the exact same input — tools/gen_kg_fixtures.py. The
+# fixtures are committed for sf0.01, the driver's correctness scale;
+# regenerate with `python tools/gen_kg_fixtures.py --sf-dir <dir>` if
+# the input ever changes. Scores are float outputs of batch-shaped
+# numpy reductions, so the driver-checked projection is the exact
+# integer/string mention identity (url, sentence_id, span, label, word
+# + char offsets); score parity is pinned separately by
+# tests/test_ner_pipeline.py / test_context_pipeline.py.
+
+_KG_FIX = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "kg", "sf0.01"
+)
+_MENTION_ID_COLS = [
+    "url", "sentence_id", "span", "label",
+    "word_start_index", "word_end_index",
+    "char_start_index", "char_end_index",
+]
+
+
+def _kg_fixture_sql(fname: str, cols: list[str]) -> str:
+    path = os.path.join(_KG_FIX, fname)
+    return f"SELECT {', '.join(cols)} FROM read_parquet('{path}')"
+
 
 def _kg_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents-as-pages + deterministic synthetic entity-bearing
@@ -1714,25 +1741,30 @@ def _kg_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs_as_pages(spark, sf_dir).unionByName(synth)
 
 
-@_q("kg_mentions")
+@_q("kg_mentions", _kg_fixture_sql("mentions.parquet", _MENTION_ID_COLS))
 def kg_mentions(spark, sf_dir):
-    """Mentions over pages (UDF NER pipeline — no SQL oracle; driver
-    records the rows-only check, now with non-zero signal)."""
+    """Mentions over pages (UDF NER pipeline). Oracle = expected-
+    mentions fixture from the single-process reference oracle; the
+    checked projection is the exact mention identity columns."""
     ship_package(spark)
     from spanmarkerner_spark.pipeline import run_pipeline
 
     res = run_pipeline(
         _kg_input(spark, sf_dir), use_extracted=False, persist_stages=False
     )
-    return res["mentions"]
+    return res["mentions"].select(*_MENTION_ID_COLS)
 
 
-@_q("kg_mentions_context")
+@_q(
+    "kg_mentions_context",
+    _kg_fixture_sql("mentions_ctx.parquet", _MENTION_ID_COLS),
+)
 def kg_mentions_context(spark, sf_dir):
     """Document-context scoring mode (W1): same pipeline with
     doc_context_window=2 — each sentence scored with neighbouring
-    sentences spliced into its encoding. Parity vs the single-process
-    context oracle is pinned by tests/test_context_pipeline.py."""
+    sentences spliced into its encoding. Oracle = fixture from the
+    single-process context oracle (also pinned per-op by
+    tests/test_context_pipeline.py)."""
     ship_package(spark)
     from spanmarkerner_spark.pipeline import run_pipeline
 
@@ -1742,10 +1774,13 @@ def kg_mentions_context(spark, sf_dir):
         persist_stages=False,
         doc_context_window=2,
     )
-    return res["mentions"]
+    return res["mentions"].select(*_MENTION_ID_COLS)
 
 
-@_q("kg_triples")
+_TRIPLE_COLS = ["subj", "pred", "obj", "url", "sentence_id"]
+
+
+@_q("kg_triples", _kg_fixture_sql("triples.parquet", _TRIPLE_COLS))
 def kg_triples(spark, sf_dir):
     ship_package(spark)
     from spanmarkerner_spark.pipeline import run_pipeline
@@ -1753,15 +1788,20 @@ def kg_triples(spark, sf_dir):
     res = run_pipeline(
         _kg_input(spark, sf_dir), use_extracted=False, persist_stages=True
     )
-    return res["triples"]
+    return res["triples"].select(*_TRIPLE_COLS)
 
 
-@_q("kg_triples_canonical")
+@_q(
+    "kg_triples_canonical",
+    _kg_fixture_sql("triples_canonical.parquet", _TRIPLE_COLS),
+)
 def kg_triples_canonical(spark, sf_dir):
     """Full pipeline with canonicalize=True: entity ids rewritten
     through connected components over alias-dictionary ambiguity
     edges (the north_rule canonicalization stage inside the KG flow;
-    semantics pinned by tests/test_skew_canonical.py)."""
+    semantics pinned by tests/test_skew_canonical.py). Oracle =
+    fixture from oracle.run_oracle(canonicalize=True) whose
+    union-find twin matches connected_components' min-id contract."""
     ship_package(spark)
     from spanmarkerner_spark.pipeline import run_pipeline
 
@@ -1771,7 +1811,7 @@ def kg_triples_canonical(spark, sf_dir):
         persist_stages=True,
         canonicalize=True,
     )
-    return res["triples"]
+    return res["triples"].select(*_TRIPLE_COLS)
 
 
 @_q(

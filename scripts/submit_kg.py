@@ -82,16 +82,24 @@ def main(argv: list[str] | None = None) -> int:
         persist_stages=True,  # triples + mentions + metrics all read 'linked'
     )
     # processed_input=pending: buckets that yielded ZERO triples still
-    # get a lineage row, so the next resume skips them too
-    L.write_stage(res["triples"], args.out, "triples", run_id,
-                  n_buckets=args.n_buckets, processed_input=pending)
+    # get a lineage row, so the next resume skips them too.
+    # ORDER MATTERS: 'triples' is the stage pending_partitions gates on,
+    # so its lineage must land LAST — a crash between the two writes
+    # then leaves the bucket pending (mentions re-written idempotently
+    # on retry) instead of permanently missing from the mentions table.
     L.write_stage(res["linked"], args.out, "mentions", run_id,
                   n_buckets=args.n_buckets, processed_input=pending)
+    n_triples_run = res["triples"].count()
+    L.write_stage(res["triples"], args.out, "triples", run_id,
+                  n_buckets=args.n_buckets, processed_input=pending)
+    # per-run scope for all four counters; cumulative stage total is a
+    # separately-named metric so resumed runs stay self-consistent
     metrics = {
         "pages_in": float(n_pending),
         "sentences": float(res["sentences"].count()),
         "mentions": float(res["linked"].count()),
-        "triples": float(L.read_stage(spark, args.out, "triples").count()),
+        "triples": float(n_triples_run),
+        "triples_total": float(L.read_stage(spark, args.out, "triples").count()),
     }
     L.write_metrics(spark, args.out, "kg", run_id, metrics)
     res["linked"].unpersist()

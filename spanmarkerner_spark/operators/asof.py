@@ -16,6 +16,11 @@ operators/skew.py if needed), stream within partitions.
 Ties: right rows at ts equal to the left ts DO match (<=); among
 right rows sharing (key, ts) the one with the greatest tiebreak wins
 (deterministic).
+
+NULL handling (matches DuckDB ASOF JOIN): right rows with NULL ts never
+match (filtered before the union), and the carried payload is ONE
+struct per right row — so a matched row's legit NULL payload value
+stays NULL instead of being stitched from an older right row.
 """
 
 from __future__ import annotations
@@ -36,20 +41,24 @@ def asof_join(
     right row (null when no right row precedes). `tiebreak` orders
     right rows sharing (key, ts); defaults to the first payload col."""
     tiebreak = tiebreak or payload_cols[0]
+    # carry ONE struct (non-null for every right row) so all payload
+    # columns come from the SAME matched row even when some are NULL
+    r_payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_r")
     l_tag = left.select(
         key,
         ts,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in payload_cols],
+        F.lit(None)
+        .cast(right.select(r_payload).schema["_r"].dataType)
+        .alias("_r"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
     )
-    r_tag = right.select(
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
         key,
         ts,
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        r_payload,
         F.col(tiebreak).alias("_tb"),
         F.lit(None)
         .cast(l_tag.schema["_l"].dataType)
@@ -67,13 +76,10 @@ def asof_join(
     carried = unioned.select(
         "_side",
         "_l",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in payload_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in payload_cols],
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
     return out

@@ -196,9 +196,13 @@ def render_model_card(
         if section == "label_examples":
             lines.append(f"| {item} | {r['value_str']} |")
     lines += ["", "## Widget examples", ""]
-    for (section, item), r in sorted(rows.items()):
-        if section == "widget" and item != "predict_example":
-            lines.append(f"{item}. {r['value_str']}")
+    widget_rows = [
+        (int(item), r)
+        for (section, item), r in rows.items()
+        if section == "widget" and item != "predict_example"
+    ]
+    for item, r in sorted(widget_rows):  # numeric: '10' after '9', not after '1'
+        lines.append(f"{item}. {r['value_str']}")
     pe = rows.get(("widget", "predict_example"))
     if pe is not None:
         lines += ["", "## Predict example", "", f"`{pe['value_str']}`"]

@@ -27,16 +27,21 @@ from spanmarkerner_spark.subword import encode_words, enumerate_spans
 
 
 def oracle_mentions(
-    pages: list[tuple], cfg: SpanMarkerConfig, lang_filter: str | None = None
+    pages: list[tuple],
+    cfg: SpanMarkerConfig,
+    lang_filter: str | None = None,
+    use_extracted: bool = True,
 ) -> list[dict]:
-    """pages rows (url, warc_ts, html, text, lang) -> mention dicts."""
+    """pages rows (url, warc_ts, html, text, lang) -> mention dicts.
+    use_extracted mirrors run_pipeline's flag: False trusts the text
+    column instead of extracting from html."""
     enc = TinySpanEncoder(cfg)
     gaz = gazetteer(cfg)
     mentions: list[dict] = []
     for url, _ts, html, _text, lang in pages:
         if lang_filter and lang != lang_filter:
             continue
-        text = extract_text_py(html)
+        text = extract_text_py(html) if use_extracted else _text
         char_offset = 0
         sid = -1
         for raw in text.split(" . "):
@@ -94,6 +99,7 @@ def oracle_mentions_context(
     cfg: SpanMarkerConfig,
     context_window: int = 2,
     lang_filter: str | None = None,
+    use_extracted: bool = True,
 ) -> list[dict]:
     """Document-context variant of oracle_mentions (the reference's
     predict() with document_id present, modeling.py:474-492): each
@@ -109,7 +115,7 @@ def oracle_mentions_context(
     for url, _ts, html, _text, lang in pages:
         if lang_filter and lang != lang_filter:
             continue
-        text = extract_text_py(html)
+        text = extract_text_py(html) if use_extracted else _text
         # first pass: segment + encode every non-blank sentence (the
         # lag/lead frame in the Spark path runs over exactly these
         # rows — num_words==0 sentences still occupy neighbour slots)
@@ -224,11 +230,56 @@ def oracle_triples(linked: list[dict]) -> set[tuple]:
     return triples
 
 
+def oracle_canonical_map() -> dict[int, int]:
+    """Single-process twin of pipeline.run_pipeline(canonicalize=True):
+    union-find over alias-dictionary ambiguity edges (two entity ids
+    sharing an alias), representative = MIN id of the component —
+    exactly connected_components' contract (components.py:46)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_alias: dict[str, list[int]] = {}
+    for alias, eid, _name, _prior in alias_rows():
+        by_alias.setdefault(alias, []).append(eid)
+    for ids in by_alias.values():
+        for other in ids[1:]:
+            ra, rb = find(ids[0]), find(other)
+            if ra != rb:
+                # union by value so the root is always the min id
+                parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
 def run_oracle(
-    pages: list[tuple], cfg: SpanMarkerConfig, lang_filter: str | None = None
+    pages: list[tuple],
+    cfg: SpanMarkerConfig,
+    lang_filter: str | None = None,
+    use_extracted: bool = True,
+    canonicalize: bool = False,
+    doc_context_window: int = 0,
 ) -> dict:
-    mentions = oracle_mentions(pages, cfg, lang_filter)
+    if doc_context_window > 0:
+        mentions = oracle_mentions_context(
+            pages, cfg, doc_context_window, lang_filter, use_extracted
+        )
+    else:
+        mentions = oracle_mentions(pages, cfg, lang_filter, use_extracted)
     linked = oracle_link(mentions)
+    if canonicalize:
+        cmap = oracle_canonical_map()
+        linked = [
+            (
+                {**m, "entity_id": cmap.get(m["entity_id"], m["entity_id"])}
+                if m["entity_id"] is not None
+                else m
+            )
+            for m in linked
+        ]
     triples = oracle_triples(linked)
     return {"mentions": mentions, "linked": linked, "triples": triples}
 
