@@ -1173,6 +1173,51 @@ def agg_pivot(spark, sf_dir):
 
 
 @_q(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE: all 2^k grouping combinations in one pass (partial-agg
+    friendly — Catalyst expands to a single Expand + hash aggregate,
+    one shuffle total, same as ROLLUP)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the rollup/cube generalization)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@_q(
     "dedup_embedding",
     """
     WITH base AS (
@@ -1778,6 +1823,25 @@ def kg_mentions_context(spark, sf_dir):
 
 
 _TRIPLE_COLS = ["subj", "pred", "obj", "url", "sentence_id"]
+_DOC_ENTITY_COLS = ["url", "doc_word_start", "doc_word_end", "span", "label"]
+
+
+@_q(
+    "spacy_doc_entities",
+    _kg_fixture_sql("doc_entities.parquet", _DOC_ENTITY_COLS),
+)
+def spacy_doc_entities(spark, sf_dir):
+    """spaCy-pipe facade output shape (spacy_integration.py:120-170
+    analogue): mentions re-mapped to DOC-level word offsets. Oracle =
+    fixture from the single-process twin in tools/gen_kg_fixtures.py."""
+    ship_package(spark)
+    from spanmarkerner_spark.datagen import gazetteer
+    from spanmarkerner_spark.pipeline import default_config
+    from spanmarkerner_spark.spacy_integration import doc_entities_flat
+
+    cfg = default_config()
+    flat = doc_entities_flat(_kg_input(spark, sf_dir), cfg, gazetteer(cfg))
+    return flat.select(*_DOC_ENTITY_COLS)
 
 
 @_q("kg_triples", _kg_fixture_sql("triples.parquet", _TRIPLE_COLS))

@@ -64,10 +64,13 @@ def main() -> None:
 
     for name in HEADLINE:
         if name == "dedup_minhash":
-            # bench the PRODUCTION signature path (seeded xxhash64);
-            # the md5 'portable' variant exists only so the driver's
-            # DuckDB oracle can verify values, and costs 16 md5
-            # evaluations per shingle
+            # report BOTH minhash numbers so the bench line is
+            # self-describing about which plan it timed:
+            #   dedup_minhash     = PRODUCTION path (seeded xxhash64
+            #                       signatures, ~5-10x cheaper)
+            #   dedup_minhash_md5 = the md5 'portable' path the
+            #                       driver's DuckDB oracle pins (16 md5
+            #                       evaluations per shingle)
             from spanmarkerner_spark.operators.dedup import minhash_lsh_pairs
 
             times[name] = timed(
@@ -79,6 +82,9 @@ def main() -> None:
                     max_bucket=50,
                     hash_fn="xxhash",
                 ).count()
+            )
+            times["dedup_minhash_md5"] = timed(
+                lambda: qs[name](spark, sf_dir).count()
             )
         else:
             times[name] = timed(lambda: qs[name](spark, sf_dir).count())

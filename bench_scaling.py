@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -58,9 +59,17 @@ spark.stop()
 def run_level(cores: int, sf_dir: str, pages_pq: str) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     code = WORKER % {"repo": repo}
+    cmd = [sys.executable, "-c", code, str(cores), sf_dir,
+           str(N_SYNTH_PAGES), pages_pq]
+    # pin the whole JVM+python-worker tree to exactly `cores` physical
+    # cores: an unpinned local[2] JVM still spreads GC/shuffle/worker
+    # threads over every core of the box, which inflates the small
+    # level and UNDERSTATES scaling. On a real cluster an N-core
+    # executor is cgroup-bound to N cores — taskset reproduces that.
+    if shutil.which("taskset") and os.environ.get("SCALING_PIN", "1") == "1":
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     p = subprocess.run(
-        [sys.executable, "-c", code, str(cores), sf_dir,
-         str(N_SYNTH_PAGES), pages_pq],
+        cmd,
         capture_output=True, text=True, timeout=3000,
     )
     for line in p.stdout.splitlines():

@@ -101,13 +101,14 @@ class TinySpanEncoder:
         col_mask = (
             np.arange(n_max)[None, :] < text_len[:, None]
         )  # (B, n_max) valid text cols
+        # k/v projections of the marker states are shared by both
+        # attend() passes (self in one, pair in the other) — compute
+        # each ONCE. Pure caching: bit-identical results.
+        k_s, v_s = h_s0 @ self.wk, h_s0 @ self.wv
+        k_e, v_e = h_e0 @ self.wk, h_e0 @ self.wv
 
-        def attend(h_self0, h_pair0):
+        def attend(h_self0, k_self, v_self, k_pair, v_pair):
             q = h_self0 @ self.wq                     # (B, m, d)
-            k_self = h_self0 @ self.wk
-            k_pair = h_pair0 @ self.wk
-            v_self = h_self0 @ self.wv
-            v_pair = h_pair0 @ self.wv
             s_text = np.einsum("bmd,bnd->bmn", q, k_text, optimize=True) * scale
             s_text = np.where(col_mask[:, None, :], s_text, DTYPE(-np.inf))
             s_self = (q * k_self).sum(-1) * scale     # (B, m)
@@ -129,7 +130,10 @@ class TinySpanEncoder:
             h = (h - h.mean(-1, keepdims=True)) / (h.std(-1, keepdims=True) + 1e-6)
             return h
 
-        return attend(h_s0, h_e0), attend(h_e0, h_s0)
+        return (
+            attend(h_s0, k_s, v_s, k_e, v_e),
+            attend(h_e0, k_e, v_e, k_s, v_s),
+        )
 
     # ---------------- reference-layout path (tests only) ----------------
 

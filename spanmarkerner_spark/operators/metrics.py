@@ -115,6 +115,74 @@ def entity_tracker_histogram(
     )
 
 
+def entity_tracker_report(
+    histogram: DataFrame,
+    total_num_entities: int,
+    entity_max_length: int,
+    model_max_length: int,
+    split: str = "train",
+) -> str | None:
+    """Driver-side render of entity_tracker_histogram into the
+    reference's human-readable warning (tokenizer.py:66-117, golden
+    regexes in the reference's tests/test_trainer.py:155-228): missed
+    entities LONGER than entity_max_length are itemized per length;
+    missed entities within the cap were lost to the model input
+    length and are reported as one total. Returns None when nothing
+    was missed (the reference just resets the tracker)."""
+    rows = histogram.collect()  # tiny: one row per distinct span length
+    if not rows or total_num_entities <= 0:
+        return None
+    entity_missed = sorted(
+        (r["span_length"], r["missed"])
+        for r in rows
+        if r["span_length"] > entity_max_length
+    )
+    model_missed = sum(
+        r["missed"] for r in rows if r["span_length"] <= entity_max_length
+    )
+    total_missed = sum(r["missed"] for r in rows)
+    if total_missed == 0:
+        return None
+    if split == "train":
+        message = "This SpanMarker model will ignore"
+    else:
+        message = "This SpanMarker model won't be able to predict"
+    message += (
+        f" {total_missed / total_num_entities:%} of all annotated entities in "
+        f"the {split} dataset. This is caused by the SpanMarkerModel "
+    )
+    if entity_missed:
+        message += (
+            f"maximum entity length of {entity_max_length} "
+            f"word{'s' if entity_max_length > 1 else ''}"
+        )
+        if model_missed:
+            message += " and the "
+    if model_missed:
+        message += (
+            f"maximum model input length of {model_max_length} "
+            f"token{'s' if model_max_length > 1 else ''}"
+        )
+    message += "."
+    if entity_missed:
+        message += (
+            "\nThese are the frequencies of the missed entities due to "
+            f"maximum entity length out of {total_num_entities} total entities:\n"
+        )
+        message += "\n".join(
+            f"- {freq} missed entities with {length} "
+            f"word{'s' if length > 1 else ''} ({freq / total_num_entities:%})"
+            for length, freq in entity_missed
+        )
+    if model_missed:
+        message += "\nAdditionally, a " if entity_missed else "\nA "
+        message += (
+            f"total of {model_missed} ({model_missed / total_num_entities:%})"
+            " entities were missed due to the maximum input length."
+        )
+    return message
+
+
 def widget_examples(fixture: DataFrame, k: int = 5) -> DataFrame:
     """O3: top-k sentences by (distinct entity labels, entity count)
     desc with a deterministic tie-break."""

@@ -112,6 +112,92 @@ def read_stage(spark: SparkSession, base_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base_dir, stage))
 
 
+# ---------------------------------------------------------------------
+# file-grained lineage (streaming ingest resume unit)
+#
+# Batch resume works per url-BUCKET because the batch job sees the
+# whole input: a bucket is complete when processed. A streaming
+# micro-batch only ever sees a slice of each bucket, so the streaming
+# resume unit is the input FILE — the same unit the file source's own
+# checkpoint tracks. File lineage makes the stream resumable even when
+# the streaming checkpoint is LOST (restart reprocesses all files; the
+# lineage anti-join drops the finished ones), and lets batch tools
+# audit exactly which files produced which outputs.
+# ---------------------------------------------------------------------
+
+
+def file_lineage_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_file_lineage")
+
+
+def read_file_lineage(spark: SparkSession, base_dir: str) -> DataFrame:
+    path = file_lineage_path(base_dir)
+    try:
+        return spark.read.schema(schemas.FILE_LINEAGE).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema=schemas.FILE_LINEAGE)
+
+
+def with_file_key(df: DataFrame, file_path_col=None) -> DataFrame:
+    """Adds (file_path, file_key) from the scan metadata. file_key is a
+    short stable hash used as the output partition value — unique per
+    file, filename-safe."""
+    fp = file_path_col if file_path_col is not None else F.col("_metadata.file_path")
+    return df.withColumn("file_path", fp).withColumn(
+        "file_key", F.substring(F.md5(F.col("file_path")), 1, 16)
+    )
+
+
+def pending_files(
+    keyed_batch: DataFrame, spark: SparkSession, base_dir: str, stage: str
+) -> DataFrame:
+    """Filter a (file_key-carrying) micro-batch to files with no
+    lineage row for this stage. The done-file set is bounded by the
+    total file count (not row count) and broadcasts."""
+    done = (
+        read_file_lineage(spark, base_dir)
+        .filter(F.col("stage") == stage)
+        .select("file_key")
+        .distinct()
+    )
+    return keyed_batch.join(F.broadcast(done), "file_key", "left_anti")
+
+
+def write_stage_by_file(
+    df: DataFrame,
+    base_dir: str,
+    stage: str,
+    run_id: str,
+    processed_files: list[tuple[str, str]],
+) -> None:
+    """Write df (must carry file_key) into the stage table partitioned
+    by file_key with dynamic overwrite — a retried micro-batch
+    overwrites exactly its own files' partitions, never a previous
+    epoch's — then append one lineage row per processed file (files
+    with zero output rows included, so they are never reprocessed).
+    Lineage lands LAST: a crash in between leaves the files pending
+    and the retry is idempotent."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = os.path.join(base_dir, stage)
+    df.write.mode("overwrite").partitionBy("file_key").parquet(out)
+    counts = {
+        r["file_key"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("file_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        # bounded by total file count; read-back doubles as write audit
+    }
+    rows = [
+        (stage, fk, fp, int(counts.get(fk, 0)), run_id)
+        for fk, fp in processed_files
+    ]
+    spark.createDataFrame(rows, schema=schemas.FILE_LINEAGE).coalesce(1).write.mode(
+        "append"
+    ).parquet(file_lineage_path(base_dir))
+
+
 def metrics_path(base_dir: str) -> str:
     return os.path.join(base_dir, "_metrics")
 

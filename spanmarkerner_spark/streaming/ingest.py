@@ -68,6 +68,82 @@ def stream_pages_to_triples(
     )
 
 
+def stream_pages_to_triples_lineage(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **pipeline_kwargs,
+):
+    """Lineage-integrated variant of stream_pages_to_triples: the
+    stream's resume state lives in the SAME lineage tables the batch
+    job uses (plans/lineage.py file-grained flavor), not only in the
+    streaming checkpoint.
+
+    Each micro-batch (a) anti-joins its files against the 'triples'
+    file lineage — files already finished by ANY earlier run (a prior
+    stream whose checkpoint was lost, a retried epoch that half-wrote)
+    are skipped; (b) runs the pipeline over the pending files only;
+    (c) writes triples into file_key partitions with dynamic overwrite
+    (a retry overwrites exactly its own files' partitions); (d) appends
+    file lineage LAST. Net effect: kill the stream mid-run, even delete
+    its checkpoint, restart — no duplicate triples, no lost files.
+
+    Cross-file url re-crawls are deduped within a micro-batch by
+    run_pipeline(dedupe_pages=True); across files the unit of
+    exactly-once is the file (consumers wanting url-grain dedupe run
+    the batch dedupe operators downstream).
+    """
+    from spanmarkerner_spark.plans import lineage as L
+
+    # _metadata must be resolved on the streaming scan — inside
+    # foreachBatch the micro-batch is already a plain LogicalRDD
+    pages = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(pages_dir)
+        .select("*", F.col("_metadata.file_path").alias("file_path"))
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        keyed = L.with_file_key(batch_df, F.col("file_path"))
+        pending = L.pending_files(keyed, sp, out_dir, "triples")
+        # one (file_key, file_path) pair per pending file — bounded by
+        # maxFilesPerTrigger, never by row count
+        files = [
+            (r["file_key"], r["file_path"])
+            for r in pending.select("file_key", "file_path").distinct().collect()
+        ]
+        if not files:
+            return
+        res = run_pipeline(
+            pending.drop("file_key", "file_path"),
+            persist_stages=True,
+            **pipeline_kwargs,
+        )
+        try:
+            # one file per url: a url re-crawled into two files in the
+            # SAME batch is deduped by run_pipeline to one page — its
+            # triples must land in exactly one file partition
+            url_files = pending.groupBy("url").agg(
+                F.min("file_key").alias("file_key")
+            )
+            triples = res["triples"].join(url_files, "url")
+            L.write_stage_by_file(
+                triples, out_dir, "triples", f"stream-epoch-{int(epoch_id)}", files
+            )
+        finally:
+            res["linked"].unpersist()
+
+    return (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -66,11 +66,19 @@ def duck():
 ORACLED = sorted(entrymod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
 
+# fixture-backed oracles are generated for the DRIVER's correctness
+# scale (sf0.01, tools/gen_kg_fixtures.py) — run those queries at that
+# scale regardless of the (faster) default SF_DIR used for the rest
+FIXTURE_SF = "/root/testdata/sf0.01"
+FIXTURE_PINNED = {
+    n for n, sql in entrymod.oracle_sql().items() if "fixtures/kg" in sql
+}
+
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
-    sdf = q(spark, SF_DIR)
+    sdf = q(spark, FIXTURE_SF if name in FIXTURE_PINNED else SF_DIR)
     scols = sdf.columns
     spdf = sdf.toPandas()
     srows = [tuple(r) for r in spdf.itertuples(index=False)]

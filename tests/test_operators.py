@@ -606,6 +606,82 @@ def test_asof_join_semantics(spark):
     assert out[200] == (None, None)  # nothing precedes
 
 
+def test_asof_join_null_payload_and_null_ts(spark):
+    """ADVICE r2: a matched right row's legit NULL payload must stay
+    NULL (no stitching from older rows); right rows with NULL ts never
+    match."""
+    import datetime as dt
+
+    from spanmarkerner_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 11, 0), 100), (3, T(2024, 1, 1, 11, 0), 300)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 0), 7, 1.5),
+         (1, T(2024, 1, 1, 10, 0), 8, None),  # matched row has NULL value
+         (3, None, 9, 9.9)],                  # NULL ts: never matches
+        "user_id long, ts timestamp, p_id long, value double",
+    )
+    out = {
+        r["event_id"]: (r["asof_p_id"], r["asof_value"])
+        for r in asof_join(left, right, "user_id", "ts", ["p_id", "value"]).collect()
+    }
+    assert out[100] == (8, None)     # NOT (8, 1.5)
+    assert out[300] == (None, None)  # NULL-ts right row is invisible
+
+
+def test_asof_join_bucketed_equivalent(spark):
+    """asof_join_bucketed == asof_join on a hot-keyed input, at bucket
+    widths smaller/larger than the data span (carry crosses empty
+    buckets, ties at bucket boundaries, NULL payloads, NULL ts)."""
+    import datetime as dt
+    import random
+
+    from spanmarkerner_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rnd = random.Random(7)
+    T0 = dt.datetime(2024, 1, 1)
+    # hot key 1 holds ~80% of rows; ts collisions on purpose (coarse grid)
+    def ts(i):
+        return T0 + dt.timedelta(minutes=10 * rnd.randint(0, 400))
+
+    left_rows = [
+        (1 if rnd.random() < 0.8 else rnd.randint(2, 5), ts(i), i)
+        for i in range(300)
+    ]
+    right_rows = [
+        (
+            1 if rnd.random() < 0.8 else rnd.randint(2, 5),
+            None if rnd.random() < 0.05 else ts(i),
+            i,
+            None if rnd.random() < 0.2 else float(i),
+        )
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "user_id long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts timestamp, p_id long, value double"
+    )
+    base = {
+        r["event_id"]: (r["asof_p_id"], r["asof_value"])
+        for r in asof_join(left, right, "user_id", "ts", ["p_id", "value"]).collect()
+    }
+    for width in (600, 3600, 86400 * 365):
+        got = {
+            r["event_id"]: (r["asof_p_id"], r["asof_value"])
+            for r in asof_join_bucketed(
+                left, right, "user_id", "ts", ["p_id", "value"],
+                bucket_width_sec=width,
+            ).collect()
+        }
+        assert got == base, f"width={width}"
+
+
 def test_bucketized_range_join_matches_naive(spark):
     """bucketized_range_join == the naive BETWEEN join, including
     intervals spanning multiple buckets and boundary-inclusive ends."""

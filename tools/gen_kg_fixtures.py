@@ -49,6 +49,13 @@ TRIPLE_COLS = [
     ("url", pa.string()),
     ("sentence_id", pa.int32()),
 ]
+DOC_ENTITY_COLS = [
+    ("url", pa.string()),
+    ("doc_word_start", pa.int32()),
+    ("doc_word_end", pa.int32()),
+    ("span", pa.string()),
+    ("label", pa.string()),
+]
 
 
 def load_pages(sf_dir: str) -> list[tuple]:
@@ -87,6 +94,35 @@ def triples_table(triples: set[tuple]) -> pa.Table:
     )
 
 
+def doc_entities_table(pages: list[tuple], mentions: list[dict]) -> pa.Table:
+    """Doc-level entity rows: each mention's word indices shifted by
+    the total word count of the doc's prior non-blank sentences — the
+    single-process twin of spacy_integration.doc_entities_flat
+    (reference: span_marker/spacy_integration.py:152-158)."""
+    offsets: dict[tuple[str, int], int] = {}
+    for url, _ts, _html, text, _lang in pages:
+        acc = 0
+        for sid, raw in enumerate(text.split(" . ")):
+            if not raw.strip():
+                continue  # blank segments are not sentences: 0 words
+            offsets[(url, sid)] = acc
+            acc += len(raw.split(" "))
+    rows = sorted(
+        (
+            m["url"],
+            m["word_start_index"] + offsets[(m["url"], m["sentence_id"])],
+            m["word_end_index"] + offsets[(m["url"], m["sentence_id"])],
+            m["span"],
+            m["label"],
+        )
+        for m in mentions
+    )
+    return pa.table(
+        {c: pa.array([r[i] for r in rows], type=t)
+         for i, (c, t) in enumerate(DOC_ENTITY_COLS)}
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -111,6 +147,8 @@ def main() -> int:
                    os.path.join(out, "mentions.parquet"))
     pq.write_table(triples_table(plain["triples"]),
                    os.path.join(out, "triples.parquet"))
+    pq.write_table(doc_entities_table(pages, plain["mentions"]),
+                   os.path.join(out, "doc_entities.parquet"))
     print(f"mentions={len(plain['mentions'])} triples={len(plain['triples'])}")
 
     canon = run_oracle(pages, cfg, use_extracted=False, canonicalize=True)
