@@ -62,6 +62,45 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         return round(best, 3)
 
+    # ---- kg_e2e FIRST: the headline metric must not inherit another
+    # query's JVM state. Measured on this box: running the two minhash
+    # LSH jobs before kg inflates kg's first trial 3.7s -> 42s (GC /
+    # allocator debris, load avg 0.67 — not co-tenants). Python workers
+    # are warmed explicitly with a tiny pipeline so trial 1 isn't
+    # paying worker spawn either.
+    from spanmarkerner_spark import schemas
+    from spanmarkerner_spark.datagen import gen_pages
+    from spanmarkerner_spark.pipeline import run_pipeline
+
+    # write the union to parquet first: a LocalRelation of synthetic
+    # pages embedded in the plan re-serializes into every stage
+    import tempfile
+
+    docs_pages = E._docs_as_pages(spark, sf_dir)
+    synth = spark.createDataFrame(gen_pages(2000, seed=42), schema=schemas.PAGES)
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    docs_pages.unionByName(synth).write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    n_pages = pages.count()
+    warm = spark.createDataFrame(gen_pages(50, seed=1), schema=schemas.PAGES)
+    run_pipeline(warm, use_extracted=False)["triples"].count()
+
+    # persist_stages=False for the timed run: linked has exactly one
+    # consumer in the triples DAG, so caching it only adds
+    # materialization cost (~25% of e2e measured) to the timed action
+    kg_sec = None
+    for _ in range(3):
+        t0 = time.time()
+        res = run_pipeline(pages, use_extracted=False, persist_stages=False)
+        n_triples = res["triples"].count()
+        dt = round(time.time() - t0, 3)
+        kg_sec = dt if kg_sec is None or dt < kg_sec else kg_sec
+    # stat counts AFTER the timed window (sentences recompute is
+    # cheap codegen; linked re-runs NER but is untimed)
+    n_sentences = res["sentences"].count()
+    n_mentions = res["linked"].count()
+    times["kg_e2e"] = kg_sec
+
     for name in HEADLINE:
         if name == "dedup_minhash":
             # report BOTH minhash numbers so the bench line is
@@ -88,38 +127,6 @@ def main() -> None:
             )
         else:
             times[name] = timed(lambda: qs[name](spark, sf_dir).count())
-
-    # end-to-end KG pipeline (documents-as-pages + synthetic signal pages)
-    from spanmarkerner_spark import schemas
-    from spanmarkerner_spark.datagen import gen_pages
-    from spanmarkerner_spark.pipeline import run_pipeline
-
-    # write the union to parquet first: a LocalRelation of synthetic
-    # pages embedded in the plan re-serializes into every stage
-    import tempfile
-
-    docs_pages = E._docs_as_pages(spark, sf_dir)
-    synth = spark.createDataFrame(gen_pages(2000, seed=42), schema=schemas.PAGES)
-    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
-    docs_pages.unionByName(synth).write.mode("overwrite").parquet(pages_dir)
-    pages = spark.read.parquet(pages_dir)
-    n_pages = pages.count()
-
-    # persist_stages=False for the timed run: linked has exactly one
-    # consumer in the triples DAG, so caching it only adds
-    # materialization cost (~25% of e2e measured) to the timed action
-    kg_sec = None
-    for _ in range(2):
-        t0 = time.time()
-        res = run_pipeline(pages, use_extracted=False, persist_stages=False)
-        n_triples = res["triples"].count()
-        dt = round(time.time() - t0, 3)
-        kg_sec = dt if kg_sec is None or dt < kg_sec else kg_sec
-    # stat counts AFTER the timed window (sentences recompute is
-    # cheap codegen; linked re-runs NER but is untimed)
-    n_sentences = res["sentences"].count()
-    n_mentions = res["linked"].count()
-    times["kg_e2e"] = kg_sec
 
     total = round(sum(times.values()), 3)
     out = {
