@@ -294,13 +294,16 @@ def greedy_decode(
     spans: list[tuple[int, int, int, float]], outside_id: int
 ) -> list[tuple[int, int, int, float]]:
     """Greedy non-overlap selection (modeling.py:540-574 semantics):
-    sort by score desc with a total (start, end) tie-break — making
-    the reference's stable-sort behavior order-independent under
-    Spark — accept a span iff no word in [start, end) is taken, emit
-    sorted by start. spans: (start, end, label_id, score)."""
+    sort by score desc with a total (start, end, label) tie-break —
+    making the reference's stable-sort behavior order-independent
+    under Spark — accept a span iff no word in [start, end) is taken,
+    emit sorted by start. spans: (start, end, label_id, score).
+    (label in the key matters only for degenerate inputs where ONE
+    span carries several labels at the same score — the pipeline emits
+    each span once, but the operator must be total for any input.)"""
     kept: list[tuple[int, int, int, float]] = []
     taken: set[int] = set()
-    for s, e, lab, sc in sorted(spans, key=lambda x: (-x[3], x[0], x[1])):
+    for s, e, lab, sc in sorted(spans, key=lambda x: (-x[3], x[0], x[1], x[2])):
         if lab == outside_id:
             continue
         if any(w in taken for w in range(s, e)):

@@ -44,10 +44,13 @@ def doc_entities_flat(
     (url, doc_word_start, doc_word_end, span, label, score,
     char_start_index, char_end_index).
 
-    The word-offset window and the mentions join both ride the url
-    repartition that segmentation/NER already need — at scale this
-    adds one equi-join on (url, sentence_id) against the (tiny
-    relative to spans) sentence-offset table, nothing else.
+    Plan shape (audited, pinned by tests/test_spacy_integration.py):
+    the expensive NER UDF runs exactly ONCE (mentions branch only);
+    the offsets branch is pure codegen (segment + window) over the
+    same url repartition, whose exchange AQE reuses at runtime; the
+    final (url, sentence_id) equi-join shuffles only THIN rows —
+    one per entity and one (url, sid, int) per sentence — never the
+    token arrays or the scoring work.
     """
     num_partitions = pages.sparkSession.sparkContext.defaultParallelism
     pages = pages.repartition(num_partitions, "url")

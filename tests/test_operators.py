@@ -682,6 +682,34 @@ def test_asof_join_bucketed_equivalent(spark):
         assert got == base, f"width={width}"
 
 
+def test_asof_join_bucketed_plan_shape(spark):
+    """Scale pin: no nested-loop/cartesian anywhere, and the row-level
+    carry window is partitioned by (key, bucket) — the hot key is
+    split across time slices."""
+    import datetime as dt
+
+    from spanmarkerner_spark.operators.asof import asof_join_bucketed
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0), 100)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 0), 7, 1.5)],
+        "user_id long, ts timestamp, p_id long, value double",
+    )
+    plan = (
+        asof_join_bucketed(left, right, "user_id", "ts", ["p_id", "value"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "hashpartitioning(user_id" in plan
+    assert ", _bkt" in plan, plan  # bucket-salted distribution present
+
+
 def test_bucketized_range_join_matches_naive(spark):
     """bucketized_range_join == the naive BETWEEN join, including
     intervals spanning multiple buckets and boundary-inclusive ends."""

@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) for the pure kernels, plus a
+brute-force python oracle for asof_join semantics — SURVEY.md §5's
+"oracle per operator" strategy applied to the hardest-to-eyeball ops.
+Pure-function properties run hypothesis at full example counts; the
+Spark-backed oracle check runs once on a seeded randomized input
+(per-example Spark jobs would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spanmarkerner_spark.model import greedy_decode
+from spanmarkerner_spark.operators.context import context_merge
+
+# ---- greedy_decode ---------------------------------------------------
+
+spans_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 30),                      # start
+        st.integers(1, 8),                       # length
+        st.integers(0, 4),                       # label id (0 = outside)
+        st.floats(0, 1, allow_nan=False, width=32),
+    ).map(lambda t: (t[0], t[0] + t[1], t[2], float(t[3]))),
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(spans_strategy)
+def test_greedy_decode_no_overlap_and_sorted(spans):
+    kept = greedy_decode(spans, outside_id=0)
+    # no outside labels, no overlapping words, output sorted by start
+    taken = set()
+    assert kept == sorted(kept, key=lambda x: (x[0], x[1]))
+    for s, e, lab, _sc in kept:
+        assert lab != 0
+        assert not any(w in taken for w in range(s, e))
+        taken.update(range(s, e))
+
+
+@settings(max_examples=100, deadline=None)
+@given(spans_strategy)
+def test_greedy_decode_order_invariant(spans):
+    """The decode must not depend on input ordering (Spark shuffles
+    deliver candidates in arbitrary order)."""
+    shuffled = list(spans)
+    random.Random(0).shuffle(shuffled)
+    assert greedy_decode(spans, 0) == greedy_decode(shuffled, 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(spans_strategy)
+def test_greedy_decode_maximal(spans):
+    """Greedy is maximal: no rejected non-outside span fits in the
+    leftover word set."""
+    kept = greedy_decode(spans, 0)
+    taken = {w for s, e, _, _ in kept for w in range(s, e)}
+    kept_set = set(kept)
+    for s, e, lab, sc in spans:
+        if lab == 0 or (s, e, lab, sc) in kept_set:
+            continue
+        # a rejected span must collide with a kept word... unless an
+        # identical-key duplicate was kept instead
+        assert any(w in taken for w in range(s, e))
+
+
+# ---- context_merge ---------------------------------------------------
+
+ids = st.lists(st.integers(0, 1000), min_size=2, max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ids, st.lists(ids, max_size=3), st.lists(ids, max_size=3),
+       st.integers(4, 64))
+def test_context_merge_budget_and_prefix(own, prevs, nexts, budget):
+    merged, prefix = context_merge(own, prevs, nexts, budget)
+    # layout contract: [CLS] prev-context body next-context [SEP] —
+    # context splices INSIDE the specials, body intact, shifted by
+    # exactly `prefix` (the position-id shift the scorer applies)
+    assert merged[0] == own[0] and merged[-1] == own[-1]
+    body = own[1:-1]
+    assert merged[1 + prefix : 1 + prefix + len(body)] == body
+    # never exceeds the budget unless own alone already does
+    if len(own) <= budget:
+        assert len(merged) <= budget
+    assert 0 <= prefix <= len(merged) - len(own)
+
+
+# ---- asof_join vs brute force ---------------------------------------
+
+def _brute_asof(left_rows, right_rows):
+    """Reference semantics: latest right (ts <= left.ts, ts not NULL)
+    per key; ties on ts -> greatest tiebreak; payload from THAT row."""
+    out = {}
+    for k, lts, eid in left_rows:
+        best = None
+        for rk, rts, pid, val in right_rows:
+            if rk != k or rts is None or rts > lts:
+                continue
+            cand = (rts, pid)
+            if best is None or cand > best[0]:
+                best = (cand, pid, val)
+        out[eid] = (best[1], best[2]) if best else (None, None)
+    return out
+
+
+def test_asof_join_matches_brute_force(spark):
+    rnd = random.Random(123)
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts():
+        return T0 + dt.timedelta(minutes=rnd.randint(0, 200))
+
+    left_rows = [(rnd.randint(1, 6), ts(), i) for i in range(120)]
+    right_rows = [
+        (
+            rnd.randint(1, 6),
+            None if rnd.random() < 0.1 else ts(),
+            i,
+            None if rnd.random() < 0.25 else float(i),
+        )
+        for i in range(80)
+    ]
+    from spanmarkerner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        left_rows, "user_id long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts timestamp, p_id long, value double"
+    )
+    got = {
+        r["event_id"]: (r["asof_p_id"], r["asof_value"])
+        for r in asof_join(
+            left, right, "user_id", "ts", ["p_id", "value"], tiebreak="p_id"
+        ).collect()
+    }
+    assert got == _brute_asof(left_rows, right_rows)

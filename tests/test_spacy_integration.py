@@ -64,6 +64,20 @@ def test_doc_entities_dataframe_grouping(spark):
     assert out["u2"] == [(0, 1, "rotterdam", "location")]
 
 
+def test_doc_entities_plan_scores_once(spark):
+    """The NER UDF (the expensive stage) must appear exactly once in
+    the doc_entities plan — the offsets branch is codegen-only."""
+    rows = [("u1", None, None, DOC, "en")]
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    plan = (
+        doc_entities_flat(pages, CFG, gazetteer(CFG))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+
+
 def test_blank_segments_contribute_zero_words(spark):
     # a blank middle segment is not a sentence and adds no words
     rows = [("u1", None, None, "tokyo .   . paris", "en")]
