@@ -597,6 +597,164 @@ def f7_fingerprint(spark, sf_dir):
     )
 
 
+# ---- training-data curation: decontam / repetition / tfidf / quantiles --
+
+
+@_q(
+    "decontam_flagged",
+    """
+    -- benchmark = docs with doc_id % 13 = 0; corpus = the rest.
+    -- flag corpus docs sharing >=1 word 3-gram with the benchmark.
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+      FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 13 = 0),
+    corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 13 <> 0)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def decontam_flagged(spark, sf_dir):
+    """Test-set decontamination: benchmark n-grams broadcast against
+    the corpus gram stream (zero shuffle of the big side — see
+    operators/decontam.py scale notes). exact=True (string grams) is
+    the oracle-pinned path; production uses xxhash64 grams."""
+    from spanmarkerner_spark.operators.decontam import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    return contaminated_docs(corpus, bench, n=3, exact=True)
+
+
+@_q(
+    "text_repetition",
+    """
+    -- Gopher-style repetition signals: top-bigram share + duplicated
+    -- trigram fraction, integer ppm (exact cross-engine arithmetic).
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+      FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    top2 AS (
+      SELECT doc_id, SUM(c)::BIGINT AS total_grams,
+             ((MAX(c) * 1000000) // SUM(c))::BIGINT AS top_gram_ppm
+      FROM pg GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+      FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ),
+    d3 AS (
+      SELECT doc_id, COUNT(*) AS t3, COUNT(DISTINCT g) AS u3
+      FROM g3 GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.total_grams, t.top_gram_ppm,
+           COALESCE(((d3.t3 - d3.u3) * 1000000) // d3.t3, 0)::BIGINT
+             AS dup3_ppm
+    FROM top2 t LEFT JOIN d3 USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Boilerplate/spam signals per doc (Rae et al. 2021 table A1):
+    most-common-bigram ppm (two keyed aggs, map-side partials) +
+    duplicated-trigram ppm (pure codegen expression, no shuffle)."""
+    from spanmarkerner_spark.operators.corpus_stats import (
+        dup_ngram_ppm,
+        top_ngram_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    top2 = top_ngram_stats(docs, n=2)
+    dup3 = docs.select("doc_id", dup_ngram_ppm("text", 3).alias("dup3_ppm"))
+    return top2.join(dup3, "doc_id")
+
+
+@_q(
+    "text_tfidf_topk",
+    """
+    -- top-3 terms per doc by quantized tf-idf (idf_ppm = N*1e6 // df,
+    -- integer arithmetic end-to-end; log-idf is rank-equivalent).
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+           FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             (tf * ((n.n * 1000000) // df))::BIGINT AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rnk::BIGINT AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    from spanmarkerner_spark.operators.corpus_stats import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@_q(
+    "agg_quantiles",
+    """
+    -- exact type-1 discrete quantiles per event_type: the value at
+    -- 1-based rank ceil(p*n) under a total order — no interpolation,
+    -- so the result is an existing parquet double (bit-identical
+    -- cross-engine).
+    WITH r AS (
+      SELECT event_type, value AS _v,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value ASC, event_id ASC
+             ) AS _rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS _n
+      FROM events
+    )
+    SELECT event_type, p, _v AS q
+    FROM r, UNNEST([0.25, 0.5, 0.75, 0.95]) AS u(p)
+    WHERE _rn = greatest(1, CAST(ceil(p * _n) AS BIGINT))
+    """,
+)
+def agg_quantiles(spark, sf_dir):
+    """Exact per-key quantiles (one keyed window sort, no global
+    stage); the 100-TB/hot-key path is approx_quantiles (GK sketch),
+    pinned to this one by tests/test_corpus_stats.py."""
+    from spanmarkerner_spark.operators.quantiles import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, "events"), ["event_type"], "value", "event_id"
+    )
+
+
 # ---- sessionization + time windows ------------------------------------
 
 @_q(

@@ -1,0 +1,107 @@
+"""Corpus-level text statistics for training-data curation:
+TF-IDF term weighting and Gopher-style repetition signals.
+
+Repetition signals (Rae et al. 2021, "Scaling Language Models" —
+the Gopher quality filters, table A1): documents dominated by a few
+repeated n-grams are boilerplate/spam; the filters threshold on
+"fraction of characters in the most common n-gram" and "fraction of
+duplicated n-grams". Both are reproduced here over word n-grams.
+
+Cross-engine exactness: every ratio is emitted as parts-per-million
+via INTEGER arithmetic (`x * 1_000_000 DIV total`) — the DuckDB
+oracle computes bit-identical values with `//`, sidestepping
+float-division repr drift (see __spark_entry__ docstring recipe).
+
+Scale notes (100 TB):
+- `top_ngram_stats` is two keyed aggregations — (doc_id, gram) then
+  doc_id — both with map-side partial aggregation; no global stage.
+- `dup_ngram_ppm` is a pure whole-stage-codegen expression (no
+  shuffle at all).
+- `tfidf_topk`'s df table is vocabulary-sized (zipf-thin after
+  partial agg); the tf←df join shuffles only (term, count) pairs,
+  never text. The final per-doc top-k is one window over doc_id —
+  the same partitioning the tf aggregation just produced, which AQE
+  reuses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_ws
+from .dedup import shingle_tokens
+
+PPM = 1_000_000
+
+
+def dup_ngram_ppm(text_col: Column | str, n: int = 3) -> Column:
+    """Fraction (ppm) of n-gram occurrences that are repeats of an
+    earlier occurrence: (total - distinct) * 1e6 DIV total. Pure
+    expression — usable inside any select, zero shuffle."""
+    grams = shingle_tokens(text_col, n)
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return (
+        F.when(total > 0, F.floor(dup.cast("long") * PPM / total))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def top_ngram_stats(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, total_grams, top_gram_ppm): the most-frequent word
+    n-gram's share of all n-gram occurrences, integer ppm. Docs with
+    zero n-grams (fewer than n words) are omitted — no denominator."""
+    grams = docs.select(
+        F.col(id_col), F.explode(shingle_tokens(text_col, n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("total_grams"),
+        F.floor(F.max("cnt") * PPM / F.sum("cnt")).cast("long").alias("top_gram_ppm"),
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by quantized TF-IDF.
+
+    Weighting: score = tf * idf_ppm with idf_ppm = N * 1e6 DIV df —
+    a rational-inverse-document-frequency variant kept in pure
+    integer arithmetic so the DuckDB oracle reproduces it exactly
+    (log-idf ranks terms identically for top-k since log is
+    monotone in N/df). Ties break on term ascending (total order).
+
+    Output: (doc_id, term, tf, df, score, rnk), rnk in 1..k.
+    """
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens_ws(text_col), lambda t: F.lower(t))).alias(
+            "term"
+        ),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n")).withColumn("_j", F.lit(1))
+    scored = (
+        tf.join(df_tbl, "term")
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(n_docs), "_j")
+        .drop("_j")
+        .withColumn("score", (F.col("tf") * F.floor(F.col("n") * PPM / F.col("df"))).cast("long"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
