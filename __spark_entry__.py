@@ -755,6 +755,60 @@ def agg_quantiles(spark, sf_dir):
     )
 
 
+def _kmeans_sql(k: int, dim: int, iters: int) -> str:
+    """DuckDB mirror of operators/clustering.kmeans: the SAME fixed
+    Lloyd's iterations unrolled as CTEs. Integer quantization makes
+    every iteration bit-exact cross-engine (no float accumulation
+    order anywhere), so an iterative ML algorithm gets a full value
+    oracle instead of a rows-only check."""
+    dist = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (q.qv[i]-c.cvec[i])*(q.qv[i]-c.cvec[i])))"
+    ).format(d=dim + 1)
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qv "
+        "FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q WHERE vec_id < {k})",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, qv, cid, dist FROM ("
+            f"  SELECT *, row_number() OVER ("
+            f"    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ("
+            f"    SELECT q.vec_id, q.qv, c.cid, {dist} AS dist"
+            f"    FROM q, c{t - 1} c)) WHERE rn = 1)"
+        )
+        if t < iters:
+            ctes.append(
+                f"cs{t} AS (SELECT cid, i, "
+                f"CAST(floor(SUM(qv[i]) * 1.0 / COUNT(*)) AS BIGINT) AS v "
+                f"FROM a{t}, UNNEST(range(1, {dim + 1})) AS u(i) "
+                f"GROUP BY cid, i)"
+            )
+            ctes.append(
+                f"c{t} AS (SELECT cid, list(v ORDER BY i) AS cvec "
+                f"FROM cs{t} GROUP BY cid)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cid AS cluster_id, dist::BIGINT AS dist FROM a{iters}"
+    )
+
+
+@_q("cluster_kmeans", _kmeans_sql(k=8, dim=64, iters=3))
+def cluster_kmeans(spark, sf_dir):
+    """Distributed integer-quantized k-means (3 Lloyd's rounds, k=8)
+    over the embeddings table. Assignment is zero-shuffle (centroids
+    collapse to one broadcast row); the per-iteration update shuffles
+    <= k*dim longs per partition. See operators/clustering.py."""
+    from spanmarkerner_spark.operators.clustering import kmeans
+
+    return kmeans(
+        _t(spark, sf_dir, "embeddings"), dim=64, k=8, iters=3
+    )
+
+
 # ---- sessionization + time windows ------------------------------------
 
 @_q(

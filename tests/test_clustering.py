@@ -1,0 +1,93 @@
+"""k-means: semantics vs a python twin of the same integer Lloyd's,
+determinism across parallelism, and the zero-shuffle assignment pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_kmeans(vecs, k, iters, scale=1_000_000):
+    """Driver-side twin with the identical integer arithmetic."""
+    import math
+
+    q = {i: [math.floor(x * scale + 0.5) for x in v] for i, v in vecs}
+    cent = {i: q[i][:] for i, _ in vecs if i < k}
+
+    def assign():
+        out = {}
+        for i, qv in q.items():
+            best = None
+            for cid in sorted(cent):
+                d = sum((a - b) * (a - b) for a, b in zip(qv, cent[cid]))
+                if best is None or d < best[1] or (d == best[1] and cid < best[0]):
+                    best = (cid, d)
+            out[i] = best
+        return out
+
+    a = assign()
+    for _ in range(iters - 1):
+        newc = {}
+        for cid in {c for c, _ in a.values()}:
+            members = [q[i] for i, (c, _) in a.items() if c == cid]
+            n = len(members)
+            newc[cid] = [
+                math.floor(sum(m[j] for m in members) / n)
+                for j in range(len(members[0]))
+            ]
+        cent = newc
+        a = assign()
+    return a
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    # three tight blobs in 4-d + one straggler
+    base = {0: [0.9, 0.0, 0.0, 0.1], 1: [0.0, 0.9, 0.1, 0.0], 2: [0.0, 0.0, 0.0, 0.9]}
+    rows = []
+    for i in range(30):
+        b = base[i % 3]
+        rows.append((i, [x + (0.001 * ((i * 7) % 5)) for x in b]))
+    rows.append((30, [0.5, 0.5, 0.5, 0.5]))
+    return rows
+
+
+def test_kmeans_matches_python_twin(spark, blobs):
+    from spanmarkerner_spark.operators.clustering import kmeans
+
+    df = spark.createDataFrame(blobs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in kmeans(df, dim=4, k=3, iters=3).collect()
+    }
+    want = _py_kmeans(blobs, k=3, iters=3)
+    assert got == want
+    # blobs separate: members of each blob share a cluster
+    for i in range(3, 30):
+        assert got[i][0] == got[i % 3][0]
+
+
+def test_kmeans_deterministic_across_parallelism(spark, blobs):
+    from spanmarkerner_spark.operators.clustering import kmeans
+
+    a = spark.createDataFrame(blobs, "vec_id long, embedding array<double>")
+    got2 = sorted(map(tuple, kmeans(a.repartition(2), dim=4, k=3, iters=3).collect()))
+    got8 = sorted(map(tuple, kmeans(a.repartition(8), dim=4, k=3, iters=3).collect()))
+    assert got2 == got8
+
+
+def test_kmeans_vectors_never_shuffled(spark, blobs):
+    """Scale pin: no Exchange keyed on vec_id anywhere — assignment is
+    broadcast-only; the only exchanges are the k-row centroid updates
+    (keyed on cluster) and their single-row packing."""
+    from spanmarkerner_spark.operators.clustering import kmeans
+
+    df = spark.createDataFrame(blobs, "vec_id long, embedding array<double>")
+    plan = (
+        kmeans(df, dim=4, k=3, iters=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
