@@ -796,6 +796,51 @@ def _kmeans_sql(k: int, dim: int, iters: int) -> str:
     )
 
 
+def _pagerank_sql(iters: int, scale: int = 10**12, damping_pct: int = 85) -> str:
+    """DuckDB mirror of operators/graph.pagerank over the supplier
+    co-occurrence graph: same integer floor arithmetic, iterations
+    unrolled as CTE pairs (contribution sum, then damped update)."""
+    base_pct = 100 - damping_pct
+    ctes = [
+        "e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst"
+        "      FROM lineitem a JOIN lineitem b USING (l_orderkey)"
+        "      WHERE a.l_suppkey <> b.l_suppkey)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"r0 AS (SELECT d.src AS node, ({scale} // nn.n)::BIGINT AS r"
+        "       FROM deg d, nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"in{t} AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS inr"
+            f"   FROM e JOIN deg d ON e.src = d.src"
+            f"   JOIN r{t - 1} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT node, "
+            f"({base_pct} * ({scale} // nn.n) // 100"
+            f" + {damping_pct} * inr // 100)::BIGINT AS r FROM in{t}, nn)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank FROM r{iters}"
+    )
+
+
+@_q("graph_pagerank", _pagerank_sql(iters=3))
+def graph_pagerank(spark, sf_dir):
+    """Integer-quantized PageRank (3 rounds, d=0.85) over the supplier
+    co-occurrence graph built from lineitem (suppliers sharing an
+    order). The crawl-graph centrality signal of web curation
+    pipelines; see operators/graph.py for the per-iteration shuffle
+    budget (∝ nodes, never edges)."""
+    from spanmarkerner_spark.operators.graph import cooccurrence_edges, pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    return pagerank(edges, iters=3)
+
+
 @_q("cluster_kmeans", _kmeans_sql(k=8, dim=64, iters=3))
 def cluster_kmeans(spark, sf_dir):
     """Distributed integer-quantized k-means (3 Lloyd's rounds, k=8)

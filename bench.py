@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash",
     "ann_brute_topk",
     "cc_components",
+    "decontam_flagged",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Graph construction + PageRank — the crawl-graph curation signal.
+
+Web-scale training-data pipelines weight/filter pages by link-graph
+centrality (Common Crawl publishes harmonic/PageRank host rankings;
+C4/RefinedWeb-style curation consumes them). This module builds a
+co-occurrence graph from a fact table and runs a fixed-iteration,
+integer-quantized PageRank over it.
+
+Integer quantization (same trick as operators/clustering.py): rank
+mass is a BIGINT scaled by `scale`; every step is integer floor
+arithmetic (`div` in Spark ≡ `//` in DuckDB on non-negative values),
+so each iteration is bit-exact cross-engine and the DuckDB oracle
+unrolls the same iterations as CTEs — a full value oracle for an
+iterative graph algorithm.
+
+Scale design (10^10-edge graph, 1000 executors):
+- `cooccurrence_edges` self-joins on the shared key — work is
+  sum(group_size^2), safe when the key is bounded (items per order,
+  links per page); for heavy keys cap or salt like operators/skew.py.
+- Edges are the BIG side and are static across iterations: persist
+  them partitioned by src once; each iteration then shuffles only the
+  rank table (one thin (node, long) row per node) to the edge
+  partitioning, plus the keyed contribution sum — per-iteration bytes
+  ∝ nodes, not edges.
+- Like components.py, real clusters should checkpoint every few
+  iterations to cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def cooccurrence_edges(
+    df: DataFrame, key_col: str, node_col: str
+) -> DataFrame:
+    """Distinct directed pairs (src, dst), src != dst, of nodes
+    sharing a key. Symmetric by construction (both directions
+    emitted), so the result has no dangling nodes."""
+    a = df.select(F.col(key_col).alias("_k"), F.col(node_col).alias("src"))
+    b = df.select(F.col(key_col).alias("_k"), F.col(node_col).alias("dst"))
+    return (
+        a.join(b, "_k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int = SCALE
+) -> DataFrame:
+    """(node, rank) after `iters` rounds of
+        r(v) <- ((100-d)*r0) div 100  +  (d * sum_in(r(u) div deg(u))) div 100
+    with r0 = scale div N. Floor-rounded PageRank — deterministic,
+    reproducible in integer SQL. Assumes a symmetric edge set (no
+    dangling nodes), as produced by cooccurrence_edges."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("_n"))
+    base_pct = 100 - damping_pct
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({scale} div _n AS LONG)").alias("r"),
+        F.col("_n"),
+    )
+    r0_expr = f"CAST({base_pct} * ({scale} div _n) div 100 AS LONG)"
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("_in"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.expr(r0_expr)
+                    + F.expr(f"CAST({damping_pct} * _in div 100 AS LONG)")
+                ).alias("r"),
+                F.col("_n"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -1,0 +1,54 @@
+"""PageRank + co-occurrence graph construction."""
+
+from __future__ import annotations
+
+
+def _py_pagerank(edges, iters=3, damping_pct=85, scale=10**12):
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    r = {v: scale // n for v in deg}
+    base = (100 - damping_pct) * (scale // n) // 100
+    for _ in range(iters):
+        inr = defaultdict(int)
+        for s, d in edges:
+            inr[d] += r[s] // deg[s]
+        r = {v: base + damping_pct * inr[v] // 100 for v in inr}
+    return r
+
+
+def test_cooccurrence_edges(spark):
+    from spanmarkerner_spark.operators.graph import cooccurrence_edges
+
+    rows = [(1, "a"), (1, "b"), (1, "b"), (2, "b"), (2, "c"), (3, "d")]
+    df = spark.createDataFrame(rows, "k long, node string")
+    got = {(r["src"], r["dst"]) for r in cooccurrence_edges(df, "k", "node").collect()}
+    assert got == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+
+
+def test_pagerank_matches_python_twin(spark):
+    from spanmarkerner_spark.operators.graph import pagerank
+
+    # star: hub 0 connected to 1..4, plus a 5-6 pair
+    pairs = [(0, i) for i in range(1, 5)] + [(5, 6)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    want = _py_pagerank(edges, iters=3)
+    assert got == want
+    # the hub out-ranks every leaf
+    assert all(got[0] > got[i] for i in range(1, 5))
+
+
+def test_pagerank_deterministic_across_parallelism(spark):
+    from spanmarkerner_spark.operators.graph import pagerank
+
+    pairs = [(i, (i * 3 + 1) % 11) for i in range(11)]
+    edges = [e for a, b in pairs if a != b for e in [(a, b), (b, a)]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df.repartition(2), iters=3).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(16), iters=3).collect()))
+    assert a == b
