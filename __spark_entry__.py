@@ -796,6 +796,135 @@ def _kmeans_sql(k: int, dim: int, iters: int) -> str:
     )
 
 
+@_q(
+    "sample_split",
+    """
+    -- deterministic hash split (90/5/5): a row's split is a pure
+    -- function of its id + salt, stable under corpus growth.
+    SELECT doc_id,
+      CASE
+        WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test'
+      END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 100 AS b
+      FROM documents)
+    """,
+)
+def sample_split(spark, sf_dir):
+    from spanmarkerner_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 90, "val": 5, "test": 5},
+    ).select("doc_id", "split")
+
+
+@_q(
+    "sample_stratified",
+    """
+    -- exactly k=3 per event_type, chosen by hash order (uniform
+    -- within stratum, deterministic across runs/engines).
+    SELECT event_type, event_id, value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5('strat|' || event_id::VARCHAR),
+                                        1, 15))::BIGINT ASC,
+                        event_id ASC) AS rn
+      FROM events)
+    WHERE rn <= 3
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    from spanmarkerner_spark.operators.sampling import stratified_sample_k
+
+    return stratified_sample_k(
+        _t(spark, sf_dir, "events"), ["event_type"], 3, "event_id", salt="strat"
+    ).select("event_type", "event_id", "value")
+
+
+@_q(
+    "pack_sequences_docs",
+    """
+    -- GPT-style sequence-packing bookkeeping: docs laid out in hash
+    -- order per shard, concatenated into 256-token bins; start
+    -- offsets via one window prefix sum.
+    WITH base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 4 AS shard,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> ''))::BIGINT AS n_tokens,
+             ('0x' || substr(md5('pack|ord|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               AS _h
+      FROM documents
+    ),
+    f AS (SELECT * FROM base WHERE n_tokens > 0),
+    s AS (
+      SELECT doc_id, shard, n_tokens,
+             (SUM(n_tokens) OVER (
+                PARTITION BY shard ORDER BY _h ASC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens)::BIGINT AS start_offset
+      FROM f
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           (start_offset // 256)::BIGINT AS bin_id,
+           ((start_offset + n_tokens - 1) // 256
+            - start_offset // 256)::BIGINT AS n_spanned
+    FROM s
+    """,
+)
+def pack_sequences_docs(spark, sf_dir):
+    from spanmarkerner_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, n_shards=4
+    )
+
+
+@_q(
+    "text_pii_scrub",
+    """
+    -- the corpus has no PII, so plant a deterministic specimen per
+    -- doc, then scrub: emails -> <EMAIL>, IPv4 -> <IP>, long digit
+    -- runs -> <NUM> (same plain-regex chain as functions/text.py;
+    -- 'g' flag matches Spark's replace-all default).
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            text || ' contact user' || doc_id::VARCHAR
+                 || '@example.com or 10.0.0.' || (doc_id % 256)::VARCHAR
+                 || ' id 1234567890',
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+            '<EMAIL>', 'g'),
+          '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+        '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    from spanmarkerner_spark.functions.text import pii_scrub
+
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" id 1234567890"),
+        ).alias("t"),
+    )
+    return planted.select("doc_id", pii_scrub("t").alias("scrubbed"))
+
+
 def _pagerank_sql(iters: int, scale: int = 10**12, damping_pct: int = 85) -> str:
     """DuckDB mirror of operators/graph.pagerank over the supplier
     co-occurrence graph: same integer floor arithmetic, iterations

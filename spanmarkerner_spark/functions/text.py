@@ -162,6 +162,26 @@ def doc_fingerprint(text_col: Column | str, mod: int = 2_147_483_647) -> Column:
     )
 
 
+#: PII patterns — deliberately plain regex (classes + quantifiers
+#: only) so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+PII_PATTERNS = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("[0-9]{9,}", "<NUM>"),
+]
+
+
+def pii_scrub(text_col: Column | str) -> Column:
+    """Redact emails, IPv4 addresses, and long digit runs. Pattern
+    order matters (emails/IPs contain digit runs, so <NUM> goes
+    last). Pure codegen regexp_replace chain — the standard
+    pre-training scrub pass, run map-side with zero shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def scrub_whitespace_tokens(tokens_col: Column | str) -> Column:
     """P6 (spacy_integration.py:100,130): replace whitespace-only
     tokens with '' IN PLACE — the index positions must survive so

@@ -1,0 +1,126 @@
+"""Deterministic sampling, splits, and sequence packing for training
+pipelines.
+
+Everything here is HASH-driven, never RNG-driven: a row's fate is a
+pure function of its id (and a salt), so results are reproducible
+across runs, engines, cluster sizes, and incremental re-runs over a
+growing corpus — the property training pipelines actually need from
+"random" splits. The md5-derived `portable_hash64` keeps every
+operator value-verifiable against DuckDB; swap `hashing.xxhash64`
+for cheaper production salts where no oracle is needed.
+
+Scale notes:
+- hash_split / hash_sample are pure map-side expressions (zero
+  shuffle, fully pushdown-friendly).
+- stratified_sample_k is one window per stratum (single shuffle on
+  the strata key); for heavy strata the hash order makes any prefix
+  a uniform sample, so a per-partition pre-limit of k can cap the
+  shuffle (not needed at test scale).
+- pack_sequences is one window per shard: the exclusive prefix sum
+  over the deterministic hash order assigns every document its byte/
+  token offset in the concatenated training stream — the bookkeeping
+  of GPT-style sample packing — without materializing the stream.
+  Shards bound the window's partition size; at 100 TB pick
+  n_shards >> executors and the window sort stays in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import token_count_ws
+
+PPM = 1_000_000
+
+
+def hash_bucket(id_col: Column | str, mod: int, salt: str = "") -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return portable_hash64(c.cast("string"), salt=salt) % mod
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate_ppm: int, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose salted hash lands under rate_ppm / 1e6 —
+    deterministic Bernoulli-style sampling."""
+    return df.filter(hash_bucket(id_col, PPM, salt) < rate_ppm)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Add a 'split' column. splits maps name -> percent; percents
+    must sum to 100. Assignment order follows the dict order, so
+    ('train', 'val', 'test') buckets are stable under re-runs."""
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100: {splits}")
+    b = hash_bucket(id_col, 100, salt)
+    expr, lo = None, 0
+    for name, pct in splits.items():
+        hi = lo + pct
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr)
+
+
+def stratified_sample_k(
+    df: DataFrame, strata_cols: list[str], k: int, id_col: str, salt: str = ""
+) -> DataFrame:
+    """Exactly min(k, stratum size) rows per stratum, chosen by hash
+    order (uniform within stratum, deterministic)."""
+    h = portable_hash64(F.col(id_col).cast("string"), salt=salt)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence-packing bookkeeping: documents are laid out in a
+    deterministic hash order per shard and concatenated into
+    fixed-`budget` token bins (documents straddle bin boundaries,
+    GPT-style). Output per doc:
+      (id, shard, n_tokens, start_offset, bin_id, n_spanned)
+    where bin_id = start_offset div budget and n_spanned counts the
+    boundary crossings. Zero-token docs are dropped (nothing to
+    pack)."""
+    toks = token_count_ws(text_col).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        hash_bucket(id_col, n_shards, salt).alias("shard"),
+        toks.alias("n_tokens"),
+        portable_hash64(F.col(id_col).cast("string"), salt=salt + "|ord").alias("_h"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    out = base.select(id_col, "shard", "n_tokens", start)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / budget).cast("long").alias("bin_id"),
+        (
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+            - F.floor(F.col("start_offset") / budget)
+        ).cast("long").alias("n_spanned"),
+    )
