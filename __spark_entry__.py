@@ -2230,6 +2230,40 @@ def spacy_doc_entities(spark, sf_dir):
     return flat.select(*_DOC_ENTITY_COLS)
 
 
+@_q(
+    "kg_linked_cross",
+    _kg_fixture_sql(
+        "linked_cross.parquet",
+        ["url", "sentence_id", "word_start_index", "span", "entity_id"],
+    ),
+)
+def kg_linked_cross(spark, sf_dir):
+    """Entity linking with the CROSS-ENCODER rerank (north_star:
+    'broadcast alias-dictionary hash join + cross-encoder rerank in
+    vectorized UDFs'): pipeline mentions -> candidate pairs ->
+    mapInPandas joint scoring -> argmax(cross_score * prior). Oracle
+    = fixture from the single-process twin (gen_kg_fixtures.
+    linked_cross_table, sharing rerank.cross_score_py); the checked
+    projection is the integer/string linking identity."""
+    ship_package(spark)
+    from spanmarkerner_spark.operators.rerank import link_mentions_cross
+    from spanmarkerner_spark.pipeline import (
+        alias_dict_df,
+        default_config,
+        run_pipeline,
+    )
+
+    res = run_pipeline(
+        _kg_input(spark, sf_dir), use_extracted=False, persist_stages=True
+    )
+    linked = link_mentions_cross(
+        res["mentions"], alias_dict_df(spark), default_config()
+    )
+    return linked.select(
+        "url", "sentence_id", "word_start_index", "span", "entity_id"
+    )
+
+
 @_q("kg_triples", _kg_fixture_sql("triples.parquet", _TRIPLE_COLS))
 def kg_triples(spark, sf_dir):
     ship_package(spark)

@@ -123,6 +123,47 @@ def doc_entities_table(pages: list[tuple], mentions: list[dict]) -> pa.Table:
     )
 
 
+LINKED_CROSS_COLS = [
+    ("url", pa.string()),
+    ("sentence_id", pa.int32()),
+    ("word_start_index", pa.int32()),
+    ("span", pa.string()),
+    ("entity_id", pa.int64()),
+]
+
+
+def linked_cross_table(mentions: list[dict], cfg) -> pa.Table:
+    """Single-process twin of operators/rerank.link_mentions_cross
+    over pipeline mentions (no sentence column -> mention_text is the
+    span): argmax of cross_score * prior, tie -> lower entity_id."""
+    from spanmarkerner_spark.datagen import alias_rows
+    from spanmarkerner_spark.operators.rerank import cross_score_py
+
+    by_alias: dict[str, list[tuple]] = {}
+    for alias, eid, name, prior in alias_rows():
+        by_alias.setdefault(alias, []).append((eid, name, prior))
+
+    rows = []
+    for m in mentions:
+        cands = by_alias.get(m["span"].lower(), [])
+        best = None
+        if cands:
+            scores = cross_score_py([(m["span"], name) for _, name, _ in cands], cfg)
+            for (eid, _name, prior), cs in zip(cands, scores):
+                key = (cs * prior, -eid)
+                if best is None or key > best[0]:
+                    best = (key, eid)
+        rows.append(
+            (m["url"], m["sentence_id"], m["word_start_index"], m["span"],
+             best[1] if best else None)
+        )
+    rows.sort(key=lambda r: tuple((v is None, v) for v in r))
+    return pa.table(
+        {c: pa.array([r[i] for r in rows], type=t)
+         for i, (c, t) in enumerate(LINKED_CROSS_COLS)}
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -150,6 +191,9 @@ def main() -> int:
     pq.write_table(doc_entities_table(pages, plain["mentions"]),
                    os.path.join(out, "doc_entities.parquet"))
     print(f"mentions={len(plain['mentions'])} triples={len(plain['triples'])}")
+    pq.write_table(linked_cross_table(plain["mentions"], cfg),
+                   os.path.join(out, "linked_cross.parquet"))
+    print("linked_cross written")
 
     canon = run_oracle(pages, cfg, use_extracted=False, canonicalize=True)
     pq.write_table(triples_table(canon["triples"]),
