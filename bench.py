@@ -126,6 +126,24 @@ def main() -> None:
             times["dedup_minhash_md5"] = timed(
                 lambda: qs[name](spark, sf_dir).count()
             )
+        elif name == "decontam_flagged":
+            # same split as minhash: decontam_flagged = PRODUCTION
+            # path (xxhash64 gram hashes — thin broadcast + thin
+            # stream); decontam_flagged_exact = the string-gram path
+            # the DuckDB oracle pins
+            from spanmarkerner_spark.operators.decontam import contaminated_docs
+
+            def _decontam(exact: bool):
+                docs = E._t(spark, sf_dir, "documents")
+                return contaminated_docs(
+                    docs.filter("doc_id % 13 <> 0"),
+                    docs.filter("doc_id % 13 = 0"),
+                    n=3,
+                    exact=exact,
+                ).count()
+
+            times[name] = timed(lambda: _decontam(False))
+            times["decontam_flagged_exact"] = timed(lambda: _decontam(True))
         else:
             times[name] = timed(lambda: qs[name](spark, sf_dir).count())
 

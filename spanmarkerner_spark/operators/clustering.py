@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_min_parallelism
+
 SCALE = 1_000_000
 BIG = 1 << 62
 
@@ -115,7 +117,9 @@ def kmeans(
     """Fixed-iteration Lloyd's: seeds = the k lowest ids' vectors.
     Returns (id, cluster, dist) after `iters` assignment rounds
     (assign -> update repeated, final assignment kept)."""
-    qvecs = vecs.select(F.col(id_col), quantize(vec_col, scale).alias("qv"))
+    qvecs = ensure_min_parallelism(vecs).select(
+        F.col(id_col), quantize(vec_col, scale).alias("qv")
+    )
     centroids = (
         qvecs.filter(F.col(id_col) < k)
         .select(F.col(id_col).cast("long").alias("cid"), F.col("qv").alias("cvec"))

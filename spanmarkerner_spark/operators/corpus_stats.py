@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_ws
+from ..session import ensure_min_parallelism
 from .dedup import shingle_tokens
 
 PPM = 1_000_000
@@ -55,7 +56,7 @@ def top_ngram_stats(
     """(doc_id, total_grams, top_gram_ppm): the most-frequent word
     n-gram's share of all n-gram occurrences, integer ppm. Docs with
     zero n-grams (fewer than n words) are omitted — no denominator."""
-    grams = docs.select(
+    grams = ensure_min_parallelism(docs).select(
         F.col(id_col), F.explode(shingle_tokens(text_col, n)).alias("gram")
     )
     per_gram = grams.groupBy(id_col, "gram").agg(
@@ -83,7 +84,7 @@ def tfidf_topk(
 
     Output: (doc_id, term, tf, df, score, rnk), rnk in 1..k.
     """
-    terms = docs.select(
+    terms = ensure_min_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.transform(tokens_ws(text_col), lambda t: F.lower(t))).alias(
             "term"

@@ -34,10 +34,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_min_parallelism
 from .dedup import shingle_tokens
 
 
-def _grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _grams(
+    docs: DataFrame, id_col: str, text_col: str, n: int, spread: bool = False
+) -> DataFrame:
+    # spread: the corpus side's shingling is compute-dense; an
+    # under-split local parquet would run it single-threaded (no-op at
+    # scale — see session.ensure_min_parallelism)
+    if spread:
+        docs = ensure_min_parallelism(docs)
     return docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingle_tokens(text_col, n))).alias("gram")
     )
@@ -58,7 +66,7 @@ def contaminated_docs(
     exact=False joins on xxhash64(gram) — cheaper shuffle rows at
     scale, same plan shape.
     """
-    c = _grams(corpus, id_col, text_col, n)
+    c = _grams(corpus, id_col, text_col, n, spread=True)
     b = _grams(benchmark, id_col, text_col, n).select("gram").distinct()
     if not exact:
         c = c.select(id_col, F.xxhash64("gram").alias("gram"))
