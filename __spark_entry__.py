@@ -925,6 +925,116 @@ def text_pii_scrub(spark, sf_dir):
     return planted.select("doc_id", pii_scrub("t").alias("scrubbed"))
 
 
+@_q(
+    "curation_e2e",
+    """
+    -- composed curation pass: dedup > decontam > quality > split,
+    -- one disposition per corpus doc. A few deterministic re-keyed
+    -- copies are unioned in so the duplicate branch is non-vacuous.
+    WITH corpus0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM corpus0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM corpus0
+      WHERE doc_id % 101 = 0
+    ),
+    benchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(lower(regexp_replace(trim(text), '\\s+',
+                                                      ' ', 'g'))), 1, 15))::BIGINT
+               AS ch
+      FROM corpus
+    ),
+    dup AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY ch) AS canonical_id
+      FROM h
+    ),
+    ctoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM corpus
+    ),
+    cgrams AS (
+      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+      FROM ctoks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ),
+    btoks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM benchd
+    ),
+    bgrams AS (
+      SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+      FROM btoks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+      FROM cgrams JOIN bgrams USING (gram) GROUP BY doc_id
+    ),
+    q AS (
+      SELECT doc_id,
+        round((
+          (CASE WHEN len(tk) BETWEEN 10 AND 2000 THEN 1.0 ELSE 0.3 END) +
+          (CASE WHEN len(tk) > 0
+                AND length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(tk)
+                    BETWEEN 3.0 AND 12.0
+                THEN 1.0 ELSE 0.4 END) +
+          (CASE WHEN len(tk) > 0
+                AND len(list_filter(tk, t -> lower(t) IN
+                     ('the','a','an','and','or','that','of','in','to','is',
+                      'was','for','said','while','during','despite','many')))
+                    * 1.0 / len(tk) >= 0.05
+                THEN 1.0 ELSE 0.5 END)
+        ) / 3.0, 6) AS quality,
+        CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+          AS split
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS tk,
+               ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 100 AS b
+        FROM corpus)
+    )
+    SELECT doc_id, disposition, canonical_id, n_hits, quality,
+           CASE WHEN disposition = 'kept' THEN split END AS split
+    FROM (
+      SELECT q.doc_id,
+             CASE WHEN q.doc_id <> d.canonical_id THEN 'duplicate'
+                  WHEN COALESCE(hits.n_hits, 0) > 0 THEN 'contaminated'
+                  WHEN q.quality < 0.9 THEN 'low_quality'
+                  ELSE 'kept' END AS disposition,
+             d.canonical_id, COALESCE(hits.n_hits, 0)::BIGINT AS n_hits,
+             q.quality, q.split
+      FROM q
+      JOIN dup d USING (doc_id)
+      LEFT JOIN hits USING (doc_id))
+    """,
+)
+def curation_e2e(spark, sf_dir):
+    """The composed training-data curation pass (operators/
+    curation.py): dedup window + broadcast decontam + map-side
+    quality/split, one disposition per doc with fixed precedence.
+    Duplicate branch made non-vacuous by unioning deterministic
+    re-keyed copies of a few corpus docs."""
+    from spanmarkerner_spark.operators.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    copies = (
+        corpus0.filter(F.col("doc_id") % 101 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    return curate(corpus0.unionByName(copies), bench)
+
+
 def _pagerank_sql(iters: int, scale: int = 10**12, damping_pct: int = 85) -> str:
     """DuckDB mirror of operators/graph.pagerank over the supplier
     co-occurrence graph: same integer floor arithmetic, iterations

@@ -148,3 +148,39 @@ def test_approx_matches_exact_within_rank_tolerance(spark):
     ap = {r["p"]: r["q"] for r in approx_quantiles(df, ["k"], "v").collect()}
     for p, q in ex.items():
         assert abs(ap[p] - q) <= 2.0, (p, q, ap[p])  # <=2 ranks off at acc 1e4
+
+
+# ---------------- composed curation ----------------
+
+def test_curate_precedence_and_split(spark, corpus, bench_docs):
+    from spanmarkerner_spark.operators.curation import curate
+
+    # add an exact dup of doc 4 so the duplicate branch fires
+    dup = corpus.filter("doc_id = 4").withColumn("doc_id", F.col("doc_id") + 100)
+    got = {
+        r["doc_id"]: r
+        for r in curate(
+            corpus.unionByName(dup), bench_docs, quality_min=0.0
+        ).collect()
+    }
+    assert got[104]["disposition"] == "duplicate"
+    assert got[104]["canonical_id"] == 4
+    assert got[4]["disposition"] == "kept"          # canonical survives
+    for cid in (1, 2, 3):                            # share grams with bench
+        assert got[cid]["disposition"] == "contaminated"
+        assert got[cid]["split"] is None
+    for cid in (5, 6):
+        assert got[cid]["disposition"] == "kept"
+        assert got[cid]["split"] in ("train", "val", "test")
+
+
+def test_curate_quality_threshold(spark, corpus, bench_docs):
+    from spanmarkerner_spark.operators.curation import curate
+
+    got = {
+        r["doc_id"]: r["disposition"]
+        for r in curate(corpus, bench_docs, quality_min=1.1).collect()
+    }
+    # impossible threshold: everything uncontaminated becomes low_quality
+    assert got[5] == "low_quality" and got[6] == "low_quality"
+    assert got[1] == "contaminated"  # precedence beats quality
