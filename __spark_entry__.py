@@ -755,12 +755,9 @@ def agg_quantiles(spark, sf_dir):
     )
 
 
-def _kmeans_sql(k: int, dim: int, iters: int) -> str:
-    """DuckDB mirror of operators/clustering.kmeans: the SAME fixed
-    Lloyd's iterations unrolled as CTEs. Integer quantization makes
-    every iteration bit-exact cross-engine (no float accumulation
-    order anywhere), so an iterative ML algorithm gets a full value
-    oracle instead of a rows-only check."""
+def _kmeans_ctes(k: int, dim: int, iters: int) -> list[str]:
+    """Shared CTE chain: quantize -> seed -> iters x (assign, update).
+    a{iters} is the final assignment, c{iters-1} the final centroids."""
     dist = (
         "list_sum(list_transform(range(1, {d}), "
         "i -> (q.qv[i]-c.cvec[i])*(q.qv[i]-c.cvec[i])))"
@@ -790,9 +787,61 @@ def _kmeans_sql(k: int, dim: int, iters: int) -> str:
                 f"c{t} AS (SELECT cid, list(v ORDER BY i) AS cvec "
                 f"FROM cs{t} GROUP BY cid)"
             )
+    return ctes
+
+
+def _kmeans_sql(k: int, dim: int, iters: int) -> str:
+    """DuckDB mirror of operators/clustering.kmeans: the SAME fixed
+    Lloyd's iterations unrolled as CTEs. Integer quantization makes
+    every iteration bit-exact cross-engine (no float accumulation
+    order anywhere), so an iterative ML algorithm gets a full value
+    oracle instead of a rows-only check."""
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes(k, dim, iters))
+        + f"\nSELECT vec_id, cid AS cluster_id, dist::BIGINT AS dist FROM a{iters}"
+    )
+
+
+def _ivf_kmeans_sql(
+    k_cells: int, dim: int, iters: int, nprobe: int, topk: int, n_queries: int
+) -> str:
+    """DuckDB mirror of similarity.ivf_kmeans_topk: kmeans centroids
+    as the IVF coarse quantizer, query probes its nprobe nearest
+    cells, exact quantized cosine within probed cells."""
+    dist_p = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (qq.qv[i]-c.cvec[i])*(qq.qv[i]-c.cvec[i])))"
+    ).format(d=dim + 1)
+    ctes = _kmeans_ctes(k_cells, dim, iters)
+    ctes.append(
+        f"probe AS (SELECT query_id, qq, cid FROM ("
+        f"  SELECT qq.vec_id AS query_id, qq.qv AS qq, c.cid, "
+        f"    row_number() OVER (PARTITION BY qq.vec_id "
+        f"      ORDER BY {dist_p} ASC, c.cid ASC) AS pr"
+        f"  FROM q qq, c{iters - 1} c WHERE qq.vec_id < {n_queries})"
+        f" WHERE pr <= {nprobe})"
+    )
+    ctes.append(
+        f"cand AS (SELECT p.query_id, p.qq, a.vec_id AS neighbor_id, a.qv"
+        f"  FROM probe p JOIN a{iters} a ON a.cid = p.cid)"
+    )
+    ctes.append(
+        "scored AS (SELECT query_id, neighbor_id, round("
+        "  CAST(list_sum(list_transform(list_zip(qq, qv), z -> z[1]*z[2]))"
+        "       AS DOUBLE) /"
+        "  (sqrt(CAST(list_sum(list_transform(qq, x -> x*x)) AS DOUBLE)) *"
+        "   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))), 6)"
+        "  AS cosine FROM cand)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)"
+        "  AS rank FROM scored)"
+    )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT vec_id, cid AS cluster_id, dist::BIGINT AS dist FROM a{iters}"
+        + f"\nSELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank "
+        f"FROM ranked WHERE rank <= {topk}"
     )
 
 
@@ -1078,6 +1127,24 @@ def graph_pagerank(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
     return pagerank(edges, iters=3)
+
+
+@_q(
+    "ann_ivf_kmeans",
+    _ivf_kmeans_sql(k_cells=8, dim=64, iters=3, nprobe=2, topk=5, n_queries=8),
+)
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with a LEARNED coarse quantizer: k-means cells (same
+    unrolled integer iterations as cluster_kmeans) + nprobe-nearest-
+    cell probing + exact quantized cosine within probed cells. The
+    full composition — train quantizer, build index, probe, rank —
+    value-checked against the unrolled DuckDB CTE chain."""
+    from spanmarkerner_spark.operators.similarity import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(
+        _t(spark, sf_dir, "embeddings"), dim=64, k_cells=8, iters=3,
+        nprobe=2, k=5, n_queries=8,
+    )
 
 
 @_q("cluster_kmeans", _kmeans_sql(k=8, dim=64, iters=3))

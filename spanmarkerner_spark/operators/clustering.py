@@ -113,10 +113,18 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = SCALE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's: seeds = the k lowest ids' vectors.
     Returns (id, cluster, dist) after `iters` assignment rounds
-    (assign -> update repeated, final assignment kept)."""
+    (assign -> update repeated, final assignment kept).
+
+    materialize: localCheckpoint each k-row centroid table so every
+    iteration's plan starts from the materialized (tiny) centroids
+    instead of re-embedding the whole previous chain — the standard
+    iterative-algorithm lineage cut (components.py does the same);
+    cost per iteration is one k-row materialization. Disable to get
+    one fully-lazy composed plan (used by plan-shape tests)."""
     qvecs = ensure_min_parallelism(vecs).select(
         F.col(id_col), quantize(vec_col, scale).alias("qv")
     )
@@ -127,6 +135,8 @@ def kmeans(
     assigned = _assign(qvecs, centroids)
     for _ in range(iters - 1):
         centroids = _update(assigned, dim)
+        if materialize:
+            centroids = centroids.localCheckpoint(eager=True)
         assigned = _assign(qvecs, centroids)
     return assigned.select(
         id_col, F.col("cluster").alias("cluster_id"), "dist"

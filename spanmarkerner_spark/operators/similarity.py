@@ -260,3 +260,96 @@ def ivf_topk_from_index(
         F.col("t.cos").alias("cosine"),
         (F.col("pos") + 1).alias("rank"),
     )
+
+
+# ---- IVF with a LEARNED coarse quantizer (k-means cells) -------------
+
+def _int_cosine(va, vb):
+    """Exact cosine over quantized integer vectors: long dot/norms
+    (exact — products sum well under 2^53), ONE double division,
+    rounded to 6 — the cross-engine-reproducible scoring used by the
+    oracle-pinned ANN entries."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    n = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    return F.round(dot / (n(va) * n(vb)), 6)
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    dim: int,
+    k_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    k: int = 5,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with k-means cells (the classic FAISS IVF layout, vs
+    sign_bucket's training-free quantizer): centroids from
+    clustering.kmeans become the cell table; every corpus vector is
+    assigned to its nearest cell (zero-shuffle broadcast argmin); a
+    query probes its `nprobe` nearest cells and ranks exact quantized
+    cosine within them. Queries = the first n_queries corpus ids
+    (self-search, mirroring ann_brute_topk's driver entry).
+
+    Scale: the assignment IS the index — write it partitioned by
+    `cluster` (write_ivf_index pattern) and the probe join prunes to
+    nprobe partitions per query; the probe side is broadcast (tiny),
+    so the corpus assignment is never shuffled.
+    """
+    from .clustering import _assign, _sq_dist, _update, quantize
+
+    qvecs = ensure_min_parallelism(corpus).select(
+        F.col(id_col), quantize(vec_col).alias("qv")
+    )
+    cent = qvecs.filter(F.col(id_col) < k_cells).select(
+        F.col(id_col).cast("long").alias("cid"), F.col("qv").alias("cvec")
+    )
+    assigned = _assign(qvecs, cent)
+    for _ in range(iters - 1):
+        # k-row lineage cut per iteration (see clustering.kmeans)
+        cent = _update(assigned, dim).localCheckpoint(eager=True)
+        assigned = _assign(qvecs, cent)
+
+    queries = qvecs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
+    )
+    pairs = queries.crossJoin(F.broadcast(cent)).withColumn(
+        "_d", _sq_dist(F.col("qq"), F.col("cvec"))
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cid"))
+    probe = (
+        pairs.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "qq", "cid")
+    )
+    cand = F.broadcast(probe).join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("qv"),
+            F.col("cluster").alias("cid"),
+        ),
+        "cid",
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _int_cosine("qq", "qv").alias("cosine")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
