@@ -737,7 +737,7 @@ def text_tfidf_topk(spark, sf_dir):
                PARTITION BY event_type ORDER BY value ASC, event_id ASC
              ) AS _rn,
              COUNT(*) OVER (PARTITION BY event_type) AS _n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, p, _v AS q
     FROM r, UNNEST([0.25, 0.5, 0.75, 0.95]) AS u(p)

@@ -33,6 +33,11 @@ def exact_quantiles(
     rank ceil(p * n) (min rank 1) under ORDER BY value, tiebreak —
     the classic type-1 discrete quantile. `tiebreak_col` makes the
     order total so duplicated values can't flip rows cross-engine."""
+    # NULL values are excluded BEFORE ranking: Spark's asc sorts nulls
+    # first while DuckDB/ANSI sort them last, so leaving them in would
+    # silently shift every rank cross-engine (and a NULL quantile is
+    # meaningless anyway). The oracle SQL carries the same filter.
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(*key_cols).orderBy(
         F.asc(value_col), F.asc(tiebreak_col)
     )

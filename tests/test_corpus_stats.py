@@ -184,3 +184,12 @@ def test_curate_quality_threshold(spark, corpus, bench_docs):
     # impossible threshold: everything uncontaminated becomes low_quality
     assert got[5] == "low_quality" and got[6] == "low_quality"
     assert got[1] == "contaminated"  # precedence beats quality
+
+
+def test_exact_quantiles_ignores_nulls(spark):
+    from spanmarkerner_spark.operators.quantiles import exact_quantiles
+
+    rows = [("a", 0, None), ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, None)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = {r["p"]: r["q"] for r in exact_quantiles(df, ["k"], "v", "id", ps=(0.5, 1.0)).collect()}
+    assert got == {0.5: 1.0, 1.0: 2.0}   # nulls neither rank nor count
