@@ -851,8 +851,10 @@ def _ivf_kmeans_sql(
     -- deterministic hash split (90/5/5): a row's split is a pure
     -- function of its id + salt, stable under corpus growth.
     SELECT doc_id,
+      -- no ELSE: a NULL bucket (NULL id) must stay NULL, matching the
+      -- Spark when-chain's no-otherwise semantics
       CASE
-        WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test'
+        WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' WHEN b < 100 THEN 'test'
       END AS split
     FROM (
       SELECT doc_id,
@@ -1041,8 +1043,8 @@ def text_pii_scrub(spark, sf_dir):
                     * 1.0 / len(tk) >= 0.05
                 THEN 1.0 ELSE 0.5 END)
         ) / 3.0, 6) AS quality,
-        CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
-          AS split
+        CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+             WHEN b < 100 THEN 'test' END AS split
       FROM (
         SELECT doc_id, text,
                list_filter(string_split_regex(trim(text), '\\s+'),

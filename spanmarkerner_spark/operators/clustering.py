@@ -125,8 +125,13 @@ def kmeans(
     iterative-algorithm lineage cut (components.py does the same);
     cost per iteration is one k-row materialization. Disable to get
     one fully-lazy composed plan (used by plan-shape tests)."""
-    qvecs = ensure_min_parallelism(vecs).select(
-        F.col(id_col), quantize(vec_col, scale).alias("qv")
+    # NULL vectors can't be ranked consistently cross-engine (Spark
+    # sorts null distances first, DuckDB last) and have no cluster
+    # anyway — drop them up front
+    qvecs = (
+        ensure_min_parallelism(vecs)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), quantize(vec_col, scale).alias("qv"))
     )
     centroids = (
         qvecs.filter(F.col(id_col) < k)

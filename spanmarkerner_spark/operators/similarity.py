@@ -308,8 +308,10 @@ def ivf_kmeans_topk(
     """
     from .clustering import _assign, _sq_dist, _update, quantize
 
-    qvecs = ensure_min_parallelism(corpus).select(
-        F.col(id_col), quantize(vec_col).alias("qv")
+    qvecs = (
+        ensure_min_parallelism(corpus)
+        .filter(F.col(vec_col).isNotNull())  # see clustering.kmeans
+        .select(F.col(id_col), quantize(vec_col).alias("qv"))
     )
     cent = qvecs.filter(F.col(id_col) < k_cells).select(
         F.col(id_col).cast("long").alias("cid"), F.col("qv").alias("cvec")
