@@ -208,3 +208,90 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---- incremental corpus curation --------------------------------------
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def stream_curated_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+    quality_min: float = 0.9,
+    max_files: int = 4,
+):
+    """Incrementally curate a growing corpus: per micro-batch, apply
+    the composed curation pass (operators/curation.py) and drop any
+    document whose content hash was ALREADY ACCEPTED by an earlier
+    micro-batch — the cross-batch dedup that batch curation can't see.
+
+    Mechanics per batch:
+    1. within-batch curation (dedup window + broadcast decontam +
+       quality/split);
+    2. cross-batch dedup: anti-join the batch's kept docs against the
+       sink's content hashes, EXCLUDING the current epoch's partition
+       — so a retried epoch doesn't anti-join against its own
+       half-written output and lose rows;
+    3. write kept docs (with hash + split) into an epoch_id partition
+       with dynamic overwrite — retries overwrite their own partition
+       (same exactly-once recipe as stream_pages_to_triples).
+
+    At scale the sink-hash anti-join reads ONLY the content_hash
+    column of the sink (column pruning) and shuffles the (small)
+    current batch against it broadcast-or-shuffled by size — the sink
+    is never rewritten.
+    """
+    import os
+
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+    from spanmarkerner_spark.operators.curation import curate
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(docs_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = curate(batch_df, benchmark, quality_min=quality_min)
+        kept = (
+            cur.filter(F.col("disposition") == "kept")
+            .join(batch_df, "doc_id")
+            .select(
+                "doc_id",
+                "split",
+                "text",
+                portable_hash64(
+                    F.lower(F.regexp_replace(F.trim("text"), "\\s+", " "))
+                ).alias("content_hash"),
+            )
+        )
+        try:
+            seen = (
+                sp.read.parquet(out_dir)
+                .filter(F.col("epoch_id") != int(epoch_id))
+                .select("content_hash")
+                .distinct()
+            )
+            kept = kept.join(seen, "content_hash", "left_anti")
+        except Exception:
+            pass  # first epoch: sink doesn't exist yet
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            kept.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -744,3 +744,46 @@ def test_simhash_near_dup_pairs(docs):
            for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
     assert got[(0, 1)] == 0 and got[(0, 2)] == 0 and got[(1, 2)] == 0
     assert not any(4 in p or 5 in p for p in got)
+
+
+def test_stream_curated_docs_cross_batch_dedup(spark):
+    """Two micro-batches; the second re-ships a doc from the first
+    (same text, new id) plus a contaminated and a fresh doc. The sink
+    must hold each content exactly once and never the contaminated
+    one."""
+    from spanmarkerner_spark.streaming.ingest import stream_curated_docs
+
+    tmp = tempfile.mkdtemp(prefix="stream_curate_")
+    try:
+        # long clean texts (quality bands need >= 10 words)
+        t_a = "alpha " + " ".join(f"w{i}" for i in range(15))
+        t_b = "bravo " + " ".join(f"x{i}" for i in range(15))
+        t_poison = "the secret eval answer is " + " ".join(
+            f"p{i}" for i in range(10)
+        )
+        bench = spark.createDataFrame(
+            [(999, "the secret eval answer is hidden")], "doc_id long, text string"
+        )
+        # two part-files in ONE flat source dir (the file source does
+        # not recurse); coalesce(1) so each append is one file -> with
+        # maxFilesPerTrigger=1 they become separate micro-batches
+        spark.createDataFrame([(1, t_a)], "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{tmp}/docs")
+        spark.createDataFrame(
+            [(2, t_a), (3, t_b), (4, t_poison)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/docs")
+        q = stream_curated_docs(
+            spark, f"{tmp}/docs", f"{tmp}/out", f"{tmp}/ckpt", bench,
+            quality_min=0.0, max_files=1,
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(f"{tmp}/out")
+        rows = {r["doc_id"]: r for r in out.collect()}
+        # each content exactly once; 4 (contaminated) never lands
+        assert out.count() == out.select("content_hash").distinct().count()
+        assert set(rows) <= {1, 2, 3} and 3 in rows and 4 not in rows
+        assert len({1, 2} & set(rows)) == 1     # t_a kept exactly once
+        assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
