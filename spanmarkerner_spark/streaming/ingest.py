@@ -271,6 +271,8 @@ def stream_curated_docs(
                 ).alias("content_hash"),
             )
         )
+        from pyspark.errors import AnalysisException
+
         try:
             seen = (
                 sp.read.parquet(out_dir)
@@ -279,8 +281,10 @@ def stream_curated_docs(
                 .distinct()
             )
             kept = kept.join(seen, "content_hash", "left_anti")
-        except Exception:
-            pass  # first epoch: sink doesn't exist yet
+        except AnalysisException:
+            pass  # first epoch: sink doesn't exist yet (PATH_NOT_FOUND
+            # only — any other failure must kill the batch, not
+            # silently skip the dedup)
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             kept.withColumn("epoch_id", F.lit(int(epoch_id)))
