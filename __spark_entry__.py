@@ -14,9 +14,14 @@
   materializes DECIMAL as object(decimal.Decimal), DuckDB as float64,
   which flips the driver's value hash even when values are equal).
 
-Non-SQL-expressible entries (the NER/KG UDF pipeline, multimodal
-stub features) intentionally have no oracle — the driver records the
-weaker rows-only check for those.
+EVERY entry has a value oracle. Non-SQL-expressible computations get
+one of two independent mirrors: a parquet FIXTURE produced by the
+single-process reference-semantics oracle (kg_* and the cross-encoder
+rerank; tools/gen_kg_fixtures.py, byte-identical regeneration), or an
+UNROLLED-CTE twin for iterative algorithms kept in pure integer
+arithmetic (cluster_kmeans, graph_pagerank, ann_ivf_kmeans — Spark
+`div`/floor == DuckDB `//` on the quantized values, so every
+iteration matches bit-for-bit).
 """
 
 from __future__ import annotations
