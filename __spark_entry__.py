@@ -768,9 +768,11 @@ def _kmeans_ctes(k: int, dim: int, iters: int) -> list[str]:
         "i -> (q.qv[i]-c.cvec[i])*(q.qv[i]-c.cvec[i])))"
     ).format(d=dim + 1)
     ctes = [
+        # NULL embeddings are dropped on BOTH sides (clustering.py
+        # filters them before quantize)
         "q AS (SELECT vec_id, list_transform(embedding, x -> "
         "CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qv "
-        "FROM embeddings)",
+        "FROM embeddings WHERE embedding IS NOT NULL)",
         f"c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q WHERE vec_id < {k})",
     ]
     for t in range(1, iters + 1):

@@ -105,7 +105,7 @@ def _update(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def kmeans(
+def train(
     vecs: DataFrame,
     dim: int,
     k: int = 8,
@@ -114,10 +114,12 @@ def kmeans(
     vec_col: str = "embedding",
     scale: int = SCALE,
     materialize: bool = True,
-) -> DataFrame:
-    """Fixed-iteration Lloyd's: seeds = the k lowest ids' vectors.
-    Returns (id, cluster, dist) after `iters` assignment rounds
-    (assign -> update repeated, final assignment kept).
+):
+    """The Lloyd's loop shared by kmeans() and similarity.
+    ivf_kmeans_topk (ONE implementation, so the two driver entries
+    pinned by the same unrolled CTE oracle can never drift apart).
+    Seeds = the k lowest ids' vectors. Returns (qvecs, centroids,
+    assigned) after `iters` assignment rounds.
 
     materialize: localCheckpoint each k-row centroid table so every
     iteration's plan starts from the materialized (tiny) centroids
@@ -127,7 +129,7 @@ def kmeans(
     one fully-lazy composed plan (used by plan-shape tests)."""
     # NULL vectors can't be ranked consistently cross-engine (Spark
     # sorts null distances first, DuckDB last) and have no cluster
-    # anyway — drop them up front
+    # anyway — drop them up front (the oracle CTE filters them too)
     qvecs = (
         ensure_min_parallelism(vecs)
         .filter(F.col(vec_col).isNotNull())
@@ -143,6 +145,25 @@ def kmeans(
         if materialize:
             centroids = centroids.localCheckpoint(eager=True)
         assigned = _assign(qvecs, centroids)
+    return qvecs, centroids, assigned
+
+
+def kmeans(
+    vecs: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    materialize: bool = True,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's: (id, cluster_id, dist) after `iters`
+    assignment rounds (assign -> update repeated, final kept)."""
+    _, _, assigned = train(
+        vecs, dim, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        scale=scale, materialize=materialize,
+    )
     return assigned.select(
         id_col, F.col("cluster").alias("cluster_id"), "dist"
     )

@@ -43,6 +43,9 @@ def dup_ngram_ppm(text_col: Column | str, n: int = 3) -> Column:
     grams = shingle_tokens(text_col, n)
     total = F.size(grams)
     dup = total - F.size(F.array_distinct(grams))
+    # floor(double /) is exact here: dup*PPM is per-document bounded
+    # (<= tokens * 1e6, far under 2^53) and the quotient sits >= 1/total
+    # away from any integer when not exact — no div/oracle divergence
     return (
         F.when(total > 0, F.floor(dup.cast("long") * PPM / total))
         .otherwise(F.lit(0))
@@ -64,7 +67,12 @@ def top_ngram_stats(
     )
     return per_gram.groupBy(id_col).agg(
         F.sum("cnt").cast("long").alias("total_grams"),
-        F.floor(F.max("cnt") * PPM / F.sum("cnt")).cast("long").alias("top_gram_ppm"),
+        F.max("cnt").cast("long").alias("_mx"),
+    ).select(
+        id_col,
+        "total_grams",
+        # `div` keeps the ppm exact for any per-doc gram count
+        F.expr(f"(_mx * {PPM}) div total_grams").cast("long").alias("top_gram_ppm"),
     )
 
 
@@ -98,7 +106,14 @@ def tfidf_topk(
         .withColumn("_j", F.lit(1))
         .join(F.broadcast(n_docs), "_j")
         .drop("_j")
-        .withColumn("score", (F.col("tf") * F.floor(F.col("n") * PPM / F.col("df"))).cast("long"))
+        .withColumn(
+            # TRUE integer division (`div`), not floor(double /): at
+            # 10^10 docs n*PPM exceeds 2^53 and the double quotient
+            # can round across an integer boundary, diverging from the
+            # oracle's `//` (counterexample: n=10_000_000_013, df=17)
+            "score",
+            F.expr(f"tf * ((n * {PPM}) div df)").cast("long"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (

@@ -113,14 +113,17 @@ def pack_sequences(
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
     out = base.select(id_col, "shard", "n_tokens", start)
+    # `div` = true integer division: a shard's token stream can pass
+    # 2^53 at full scale, where floor(double /) rounds across integer
+    # boundaries and diverges from the oracle's `//`
     return out.select(
         id_col,
         "shard",
         "n_tokens",
         "start_offset",
-        F.floor(F.col("start_offset") / budget).cast("long").alias("bin_id"),
-        (
-            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
-            - F.floor(F.col("start_offset") / budget)
+        F.expr(f"start_offset div {budget}").cast("long").alias("bin_id"),
+        F.expr(
+            f"(start_offset + n_tokens - 1) div {budget}"
+            f" - start_offset div {budget}"
         ).cast("long").alias("n_spanned"),
     )

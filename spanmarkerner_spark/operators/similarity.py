@@ -306,21 +306,14 @@ def ivf_kmeans_topk(
     nprobe partitions per query; the probe side is broadcast (tiny),
     so the corpus assignment is never shuffled.
     """
-    from .clustering import _assign, _sq_dist, _update, quantize
+    from .clustering import _sq_dist, train
 
-    qvecs = (
-        ensure_min_parallelism(corpus)
-        .filter(F.col(vec_col).isNotNull())  # see clustering.kmeans
-        .select(F.col(id_col), quantize(vec_col).alias("qv"))
+    # ONE Lloyd's implementation (clustering.train) feeds both
+    # cluster_kmeans and this entry — they share the unrolled CTE
+    # oracle, so the quantizer must be the literal same code
+    qvecs, cent, assigned = train(
+        corpus, dim, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    cent = qvecs.filter(F.col(id_col) < k_cells).select(
-        F.col(id_col).cast("long").alias("cid"), F.col("qv").alias("cvec")
-    )
-    assigned = _assign(qvecs, cent)
-    for _ in range(iters - 1):
-        # k-row lineage cut per iteration (see clustering.kmeans)
-        cent = _update(assigned, dim).localCheckpoint(eager=True)
-        assigned = _assign(qvecs, cent)
 
     queries = qvecs.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col("qv").alias("qq")

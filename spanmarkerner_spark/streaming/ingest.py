@@ -249,6 +249,7 @@ def stream_curated_docs(
 
     from spanmarkerner_spark.functions.hashing import portable_hash64
     from spanmarkerner_spark.operators.curation import curate
+    from spanmarkerner_spark.operators.dedup import _norm_text
 
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -266,9 +267,10 @@ def stream_curated_docs(
                 "doc_id",
                 "split",
                 "text",
-                portable_hash64(
-                    F.lower(F.regexp_replace(F.trim("text"), "\\s+", " "))
-                ).alias("content_hash"),
+                # the SAME normalization exact_duplicates hashes —
+                # imported, not re-spelled, so the cross-batch hash can
+                # never drift from the within-batch one
+                portable_hash64(_norm_text(F.col("text"))).alias("content_hash"),
             )
         )
         from pyspark.errors import AnalysisException
@@ -281,10 +283,12 @@ def stream_curated_docs(
                 .distinct()
             )
             kept = kept.join(seen, "content_hash", "left_anti")
-        except AnalysisException:
-            pass  # first epoch: sink doesn't exist yet (PATH_NOT_FOUND
-            # only — any other failure must kill the batch, not
-            # silently skip the dedup)
+        except AnalysisException as e:
+            # ONLY a missing sink (first epoch) may skip the dedup; a
+            # readable-but-wrong sink (schema drift, bad footers) must
+            # kill the batch, not silently ingest duplicates
+            if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+                raise
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             kept.withColumn("epoch_id", F.lit(int(epoch_id)))
