@@ -141,3 +141,64 @@ def test_asof_join_matches_brute_force(spark):
         ).collect()
     }
     assert got == _brute_asof(left_rows, right_rows)
+
+
+# ---- label_normalizer IOB2 roundtrip ---------------------------------
+
+from spanmarkerner_spark.config import SpanMarkerConfig
+from spanmarkerner_spark.label_normalizer import normalize_tags, spans_to_iob2
+
+IOB2_CFG = SpanMarkerConfig(
+    labels=["O", "B-PER", "I-PER", "B-LOC", "I-LOC", "B-ORG", "I-ORG"]
+)
+
+
+@st.composite
+def span_layouts(draw):
+    """Sorted, non-overlapping (possibly adjacent) labeled spans."""
+    n_words = draw(st.integers(1, 40))
+    spans, pos = [], 0
+    while pos < n_words and draw(st.booleans()):
+        start = draw(st.integers(pos, n_words - 1))
+        end = draw(st.integers(start + 1, n_words))
+        label = draw(st.integers(1, len(IOB2_CFG.reduced_labels) - 1))
+        spans.append((label, start, end))
+        pos = end
+    return n_words, spans
+
+
+@settings(max_examples=300, deadline=None)
+@given(span_layouts())
+def test_iob2_roundtrip(layout):
+    """spans -> IOB2 strings -> normalize_tags recovers the spans
+    exactly — including ADJACENT same-label spans, which the B- tag
+    must keep apart (the reason IOB2 exists)."""
+    n_words, spans = layout
+    tags_str = spans_to_iob2(spans, n_words, IOB2_CFG.reduced_labels)
+    tag_ids = [IOB2_CFG.label2id[t] for t in tags_str]
+    assert normalize_tags(tag_ids, IOB2_CFG) == spans
+
+
+# ---- subword char-span alignment -------------------------------------
+
+from spanmarkerner_spark.subword import encode_words
+
+words_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+        min_size=1, max_size=12,
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words_strategy)
+def test_encode_words_char_spans_slice_back(words):
+    """word_char_start/end must slice the reconstructed sentence back
+    to each encoded word — the byte-identity the KG mentions rely on
+    for char offsets."""
+    e = encode_words(words, vocab_size=4096, model_max_length=64)
+    sent = " ".join(words)
+    for i in range(e["num_words"]):
+        assert sent[e["word_char_start"][i]:e["word_char_end"][i]] == words[i]
