@@ -329,10 +329,11 @@ def simhash_near_dup_pairs(
     bits_per_band = 60 // bands
     base = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-        # split('',' ') returns [''] so size>0 was a no-op: guard on
-        # trimmed length instead, else every whitespace-only doc shares
-        # the md5('') signature and floods hamming-0 "pairs"
-        .filter(F.length(F.trim(F.col("_t"))) > 0)
+        # split('',' ') returns [''] so size>0 was a no-op, and
+        # F.trim strips ONLY ascii spaces (tab/newline-only docs slip
+        # through and share the md5('') signature, flooding hamming-0
+        # "pairs") — require at least one NON-whitespace character
+        .filter(F.col("_t").rlike("\\S"))
         .select("id", simhash64(F.col("_t")).alias("sig"))
     )
     banded = base.select(

@@ -28,6 +28,25 @@ from spanmarkerner_spark import schemas
 N_BUCKETS_DEFAULT = 64
 
 
+def _overwrite_partitioned(df: DataFrame, out: str, part_col: str) -> None:
+    """Dynamic-partition-overwrite write shared by both lineage
+    grains. The overwrite mode is RESTORED afterwards — setting it
+    session-globally would silently turn an unrelated later
+    full-table overwrite elsewhere in the session into a partial
+    (dynamic) one."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(part_col).parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def with_partition_key(df: DataFrame, key_col: str = "url",
                        n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
     return df.withColumn(
@@ -81,15 +100,22 @@ def write_stage(
     that legitimately produced zero rows would be re-processed by
     every resume forever."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     keyed = with_partition_key(df, key_col, n_buckets)
     out = os.path.join(base_dir, stage)
-    keyed.write.mode("overwrite").partitionBy("partition_key").parquet(out)
-    # lineage from what actually landed (read-back = write-audit too)
-    written = spark.read.parquet(out)
-    counts = written.groupBy("partition_key").agg(
-        F.count(F.lit(1)).alias("rows_out")
-    )
+    _overwrite_partitioned(keyed, out, "partition_key")
+    # lineage from what actually landed (read-back = write-audit too);
+    # a stage whose FIRST write had zero rows leaves no readable table
+    # — that's an empty count set, not an error (the processed_input
+    # branch below still marks those buckets done)
+    try:
+        written = spark.read.parquet(out)
+        counts = written.groupBy("partition_key").agg(
+            F.count(F.lit(1)).alias("rows_out")
+        )
+    except Exception:
+        counts = spark.createDataFrame(
+            [], "partition_key int, rows_out bigint"
+        )
     if processed_input is not None:
         in_keys = (
             with_partition_key(processed_input, key_col, n_buckets)
@@ -105,6 +131,17 @@ def write_stage(
         F.col("rows_out"),
         F.lit(run_id).alias("run_id"),
     )
+    # idempotent append: a retried run whose DATA write is idempotent
+    # must not double-append lineage for buckets an earlier (possibly
+    # half-crashed) run already recorded — (stage, partition_key) is
+    # unique in the lineage table, keeping sum(rows_out) audits honest
+    already = (
+        read_lineage(spark, base_dir)
+        .filter(F.col("stage") == stage)
+        .select("partition_key")
+        .distinct()
+    )
+    lin = lin.join(F.broadcast(already), "partition_key", "left_anti")
     lin.write.mode("append").parquet(lineage_path(base_dir))
 
 
@@ -178,24 +215,43 @@ def write_stage_by_file(
     Lineage lands LAST: a crash in between leaves the files pending
     and the retry is idempotent."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = os.path.join(base_dir, stage)
-    df.write.mode("overwrite").partitionBy("file_key").parquet(out)
-    counts = {
-        r["file_key"]: r["n"]
-        for r in spark.read.parquet(out)
-        .groupBy("file_key")
-        .agg(F.count(F.lit(1)).alias("n"))
+    _overwrite_partitioned(df, out, "file_key")
+    try:
+        counts = {
+            r["file_key"]: r["n"]
+            for r in spark.read.parquet(out)
+            # prune to THIS batch's partitions — without the filter the
+            # read-back audit rescans the whole table history every
+            # micro-batch (cost grows with table age, not batch size)
+            .where(F.col("file_key").isin([fk for fk, _ in processed_files]))
+            .groupBy("file_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except Exception:
+        # zero-output FIRST batch: no readable table yet — the files
+        # still get rows_out=0 lineage below so the stream progresses
+        counts = {}
+    # idempotent append (see write_stage): drop files an earlier run
+    # already recorded
+    done = {
+        r["file_key"]
+        for r in read_file_lineage(spark, base_dir)
+        .filter(F.col("stage") == stage)
+        .select("file_key")
+        .distinct()
         .collect()
-        # bounded by total file count; read-back doubles as write audit
     }
     rows = [
         (stage, fk, fp, int(counts.get(fk, 0)), run_id)
         for fk, fp in processed_files
+        if fk not in done
     ]
-    spark.createDataFrame(rows, schema=schemas.FILE_LINEAGE).coalesce(1).write.mode(
-        "append"
-    ).parquet(file_lineage_path(base_dir))
+    if rows:
+        spark.createDataFrame(rows, schema=schemas.FILE_LINEAGE).coalesce(
+            1
+        ).write.mode("append").parquet(file_lineage_path(base_dir))
 
 
 def metrics_path(base_dir: str) -> str:

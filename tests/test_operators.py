@@ -746,6 +746,16 @@ def test_simhash_near_dup_pairs(docs):
     assert not any(4 in p or 5 in p for p in got)
 
 
+def test_simhash_drops_all_whitespace_flavors(spark):
+    """Tab/newline-only docs (which F.trim does NOT strip) must be
+    filtered like space-only ones — not emitted as hamming-0 pairs."""
+    from spanmarkerner_spark.operators.dedup import simhash_near_dup_pairs
+
+    rows = [(1, " \t "), (2, "\n\n"), (3, "   "), (4, "real text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert simhash_near_dup_pairs(df, max_hamming=3).count() == 0
+
+
 def test_stream_curated_docs_cross_batch_dedup(spark):
     """Two micro-batches; the second re-ships a doc from the first
     (same text, new id) plus a contaminated and a fresh doc. The sink

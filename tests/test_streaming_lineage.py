@@ -79,3 +79,45 @@ def test_stream_resumes_from_lineage_after_checkpoint_loss(spark):
         assert read_file_lineage(spark, out_dir).count() == 4
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_zero_output_first_batch_does_not_wedge(spark):
+    """A stage whose FIRST write produces zero rows must still append
+    lineage (rows_out=0) instead of crashing on the unreadable empty
+    table — otherwise the stream reprocesses/crashes on the same
+    files forever."""
+    import tempfile, shutil
+    from pyspark.sql import functions as F
+    from spanmarkerner_spark.plans import lineage as L
+
+    tmp = tempfile.mkdtemp(prefix="lin_empty_")
+    try:
+        empty = spark.createDataFrame(
+            [], "url string, x long, file_key string"
+        )
+        L.write_stage_by_file(
+            empty, tmp, "triples", "run0", [("abcd1234abcd1234", "/f1")]
+        )
+        lin = L.read_file_lineage(spark, tmp).collect()
+        assert [(r["file_key"], r["rows_out"]) for r in lin] == [
+            ("abcd1234abcd1234", 0)
+        ]
+        # retry of the same files must not double-append lineage
+        L.write_stage_by_file(
+            empty, tmp, "triples", "run0-retry", [("abcd1234abcd1234", "/f1")]
+        )
+        assert L.read_file_lineage(spark, tmp).count() == 1
+        # bucket-grain twin: empty first write + processed_input
+        empty_b = spark.createDataFrame([], "url string, x long")
+        inp = spark.createDataFrame([("u1", 1)], "url string, x long")
+        L.write_stage(empty_b, tmp, "stage_b", "run0", processed_input=inp)
+        rows = (
+            L.read_lineage(spark, tmp).filter("stage = 'stage_b'").collect()
+        )
+        assert len(rows) == 1 and rows[0]["rows_out"] == 0
+        L.write_stage(empty_b, tmp, "stage_b", "retry", processed_input=inp)
+        assert (
+            L.read_lineage(spark, tmp).filter("stage = 'stage_b'").count() == 1
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
