@@ -497,6 +497,28 @@ def text_token_counts(spark, sf_dir):
 
 
 @_q(
+    "text_token_counts_bpe",
+    """
+    -- BPE-ish token proxy. RE2 (DuckDB) has no lookarounds, so the
+    -- oracle EXTRACTS the runs the Spark side splits between:
+    -- '[a-z0-9]+|[^a-z0-9]+' yields exactly the alternating-run
+    -- pieces, then the same trim-nonempty filter applies.
+    SELECT doc_id,
+           len(list_filter(
+                 regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9]+'),
+                 t -> len(trim(t)) > 0))::BIGINT AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def text_token_counts_bpe(spark, sf_dir):
+    from spanmarkerner_spark.functions.text import token_count_bpe_ish
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_bpe_ish("text").cast("long").alias("n_tokens_bpe")
+    )
+
+
+@_q(
     "text_lang_id",
     """
     WITH toks AS (

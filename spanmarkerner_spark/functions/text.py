@@ -97,8 +97,9 @@ def token_count_ws(text_col: Column | str) -> Column:
 
 def token_count_bpe_ish(text_col: Column | str) -> Column:
     """BPE-ish proxy: count of alternating letter-runs / digit-runs /
-    single punctuation marks. Same regex works in DuckDB for the
-    oracle."""
+    single punctuation marks. The lookaround split is Java-regex-only
+    (RE2 has no lookbehind) — the DuckDB oracle extracts the same runs
+    with '[a-z0-9]+|[^a-z0-9]+' instead (text_token_counts_bpe)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.size(
         F.filter(
