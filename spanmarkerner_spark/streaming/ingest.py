@@ -215,6 +215,68 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 DOCS_SCHEMA = "doc_id long, text string"
 
 
+def curate_micro_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    benchmark: DataFrame,
+    quality_min: float,
+) -> None:
+    """One micro-batch of the curated ingest — module-level so the
+    retry semantics are directly testable (foreachBatch retries call
+    this again with the SAME epoch_id)."""
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+    from spanmarkerner_spark.operators.curation import curate
+    from spanmarkerner_spark.operators.dedup import _norm_text
+
+    sp = batch_df.sparkSession
+    cur = curate(batch_df, benchmark, quality_min=quality_min)
+    kept = (
+        cur.filter(F.col("disposition") == "kept")
+        .join(batch_df, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            "text",
+            # the SAME normalization exact_duplicates hashes —
+            # imported, not re-spelled, so the cross-batch hash can
+            # never drift from the within-batch one
+            portable_hash64(_norm_text(F.col("text"))).alias("content_hash"),
+        )
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        seen = (
+            sp.read.parquet(out_dir)
+            .filter(F.col("epoch_id") != int(epoch_id))
+            .select("content_hash")
+            .distinct()
+        )
+        kept = kept.join(seen, "content_hash", "left_anti")
+    except AnalysisException as e:
+        # ONLY a missing sink (first epoch) may skip the dedup; a
+        # readable-but-wrong sink (schema drift, bad footers) must
+        # kill the batch, not silently ingest duplicates
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = sp.conf.get(key, None)
+    sp.conf.set(key, "dynamic")
+    try:
+        (
+            kept.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+    finally:
+        if prev is None:
+            sp.conf.unset(key)
+        else:
+            sp.conf.set(key, prev)
+
+
 def stream_curated_docs(
     spark: SparkSession,
     docs_dir: str,
@@ -245,12 +307,6 @@ def stream_curated_docs(
     current batch against it broadcast-or-shuffled by size — the sink
     is never rewritten.
     """
-    import os
-
-    from spanmarkerner_spark.functions.hashing import portable_hash64
-    from spanmarkerner_spark.operators.curation import curate
-    from spanmarkerner_spark.operators.dedup import _norm_text
-
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
@@ -258,44 +314,7 @@ def stream_curated_docs(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        sp = batch_df.sparkSession
-        cur = curate(batch_df, benchmark, quality_min=quality_min)
-        kept = (
-            cur.filter(F.col("disposition") == "kept")
-            .join(batch_df, "doc_id")
-            .select(
-                "doc_id",
-                "split",
-                "text",
-                # the SAME normalization exact_duplicates hashes —
-                # imported, not re-spelled, so the cross-batch hash can
-                # never drift from the within-batch one
-                portable_hash64(_norm_text(F.col("text"))).alias("content_hash"),
-            )
-        )
-        from pyspark.errors import AnalysisException
-
-        try:
-            seen = (
-                sp.read.parquet(out_dir)
-                .filter(F.col("epoch_id") != int(epoch_id))
-                .select("content_hash")
-                .distinct()
-            )
-            kept = kept.join(seen, "content_hash", "left_anti")
-        except AnalysisException as e:
-            # ONLY a missing sink (first epoch) may skip the dedup; a
-            # readable-but-wrong sink (schema drift, bad footers) must
-            # kill the batch, not silently ingest duplicates
-            if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
-                raise
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            kept.withColumn("epoch_id", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .partitionBy("epoch_id")
-            .parquet(out_dir)
-        )
+        curate_micro_batch(batch_df, int(epoch_id), out_dir, benchmark, quality_min)
 
     return (
         docs.writeStream.foreachBatch(process)

@@ -797,3 +797,32 @@ def test_stream_curated_docs_cross_batch_dedup(spark):
         assert all(r["split"] in ("train", "val", "test") for r in rows.values())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_curate_micro_batch_retry_is_exactly_once(spark):
+    """A foreachBatch retry re-runs the SAME epoch: the epoch-excluded
+    anti-join must not drop the epoch's own rows (no data loss), and
+    the dynamic overwrite must not duplicate them; a LATER epoch must
+    drop the duplicate content."""
+    from spanmarkerner_spark.streaming.ingest import curate_micro_batch
+
+    tmp = tempfile.mkdtemp(prefix="curate_mb_")
+    try:
+        bench = spark.createDataFrame(
+            [(999, "zz qq ww unrelated bench text")], "doc_id long, text string"
+        )
+        t = "alpha " + " ".join(f"w{i}" for i in range(15))
+        b0 = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        out = f"{tmp}/out"
+        curate_micro_batch(b0, 0, out, bench, quality_min=0.0)
+        assert spark.read.parquet(out).count() == 1
+        # retry of epoch 0: same rows, no loss, no duplication
+        curate_micro_batch(b0, 0, out, bench, quality_min=0.0)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 1
+        # epoch 1 re-ships the same content under a new id -> dropped
+        b1 = spark.createDataFrame([(2, t)], "doc_id long, text string")
+        curate_micro_batch(b1, 1, out, bench, quality_min=0.0)
+        assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
