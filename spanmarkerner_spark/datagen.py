@@ -27,11 +27,16 @@ _ENTITY_SPECS: list[tuple[str, str, list[str]]] = [
     ("tokyo", "location", []),
     ("rotterdam", "location", []),
     ("san francisco", "location", ["sf bay"]),
-    ("acme corp", "organization", ["acme"]),
+    # "apex" is deliberately AMBIGUOUS (also an alias of stark labs):
+    # the alias dictionary then carries a real ambiguity edge, so
+    # canonicalize=True merges entity ids 1007/1011 (min-id 1007) and
+    # kg_triples_canonical provably differs from kg_triples — the
+    # round-3 fixtures could not discriminate the canonicalize mode.
+    ("acme corp", "organization", ["acme", "apex"]),
     ("globex industries", "organization", ["globex"]),
     ("initech systems", "organization", ["initech"]),
     ("umbrella group", "organization", ["umbrella"]),
-    ("stark labs", "organization", []),
+    ("stark labs", "organization", ["apex"]),
     ("wayne enterprises", "organization", ["wayne corp"]),
     ("john smith", "person", ["mr smith"]),
     ("jane doe", "person", ["ms doe"]),
@@ -160,11 +165,31 @@ def extract_text_py(html_bytes: bytes) -> str:
     return " . ".join(_html.unescape(p) for p in parts)
 
 
-def gen_pages(n_pages: int, seed: int = 42) -> list[tuple]:
+#: context-probe page: with doc_context_window=2 the neighbour
+#: sentences shift the encoder logits enough that greedy decode keeps
+#: "globex" (words 6-7) in sentence 2 instead of "globex industries"
+#: (words 6-8) — so the context mode provably changes ≥1 decision and
+#: the kg_mentions_context fixture cannot pass vacuously (round-3
+#: verdict: the base and context fixtures hashed identical). Found by
+#: a search over generated pages; the flip depends only on the model
+#: weights (cfg.seed) and the gazetteer, both fixed.
+_CONTEXT_PROBE_TEXT = (
+    "several turmoil berlin works for tokyo quick expected observers . "
+    "the spring sf bay a that . "
+    "confirmed sources the new york acquired globex industries turmoil spring . "
+    "plans mokum was born in tokyo analysts several . "
+    "plans berlin works for globex industries growth yesterday"
+)
+
+
+def gen_pages(n_pages: int, seed: int = 42, probes: bool = True) -> list[tuple]:
     """Rows for the pages table (url, warc_ts, html, text, lang).
 
     Zipfian sentence counts; a few empty-text and whitespace-ish
     pages (edge cases mirroring tests/test_modeling.py:206-209).
+    probes=True (default) appends the deterministic context-probe
+    page (urls under /probe/), so every kg input exercises a
+    context-sensitive decision; total rows = n_pages + 1.
     """
     rng = random.Random(seed)
     ents = entities()
@@ -181,6 +206,17 @@ def gen_pages(n_pages: int, seed: int = 42) -> list[tuple]:
             n_sent = min(24, max(1, int(rng.paretovariate(1.3))))
             text = " . ".join(_make_sentence(rng, ents) for _ in range(n_sent))
         rows.append((url, ts, text_to_html(text, url), text, lang))
+    if probes:
+        url = "https://example.org/probe/context0"
+        rows.append(
+            (
+                url,
+                t0,
+                text_to_html(_CONTEXT_PROBE_TEXT, url),
+                _CONTEXT_PROBE_TEXT,
+                "en",
+            )
+        )
     return rows
 
 

@@ -135,8 +135,13 @@ def train(
         .filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), quantize(vec_col, scale).alias("qv"))
     )
+    # seed = the k LOWEST ACTUAL ids' vectors (TakeOrderedAndProject —
+    # a driver-cheap global top-k, never a full sort). A plain
+    # `id < k` filter silently seeds an EMPTY set on tables whose ids
+    # start above k, making every row cluster=-1 (ADVICE r3).
     centroids = (
-        qvecs.filter(F.col(id_col) < k)
+        qvecs.orderBy(F.col(id_col).asc())
+        .limit(k)
         .select(F.col(id_col).cast("long").alias("cid"), F.col("qv").alias("cvec"))
     )
     assigned = _assign(qvecs, centroids)

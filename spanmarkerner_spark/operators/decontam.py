@@ -84,12 +84,24 @@ def decontaminate(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    exact: bool = False,
+    exact: bool = True,
 ) -> DataFrame:
     """The clean corpus: `corpus` minus every doc flagged by
-    `contaminated_docs`. The flagged set is small by construction, so
-    the anti-join broadcasts it — the corpus side stays unshuffled."""
+    `contaminated_docs`.
+
+    exact= matches contaminated_docs' default (True: gram-string
+    join, cross-engine reproducible; False: 64-bit hash join, thinner
+    shuffle rows at scale — ADVICE r3 flagged the two functions'
+    defaults as silently diverging, so they are now aligned).
+
+    The flagged set is usually small (contamination is the exception),
+    so the anti-join stays map-side — but the broadcast is NOT forced:
+    on a heavily contaminated corpus the flagged doc-id set grows with
+    corpus size and a forced driver broadcast could OOM. AQE picks
+    broadcast vs shuffled-hash from the measured size of the flagged
+    side at runtime (it is the output of a finished shuffle stage, so
+    the estimate is exact)."""
     flagged = contaminated_docs(
         corpus, benchmark, n=n, id_col=id_col, text_col=text_col, exact=exact
     ).select(id_col)
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    return corpus.join(flagged, id_col, "left_anti")

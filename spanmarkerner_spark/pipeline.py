@@ -43,6 +43,36 @@ def alias_dict_df(spark) -> DataFrame:
     return spark.createDataFrame(alias_rows(), schema=schemas.ALIAS_DICT)
 
 
+def apply_canonicalize(linked: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """Rewrite entity ids through connected components over
+    alias-ambiguity edges: two entity ids sharing an alias in the
+    dictionary are the same real-world entity candidate set, so they
+    collapse to one canonical (min) id. (Edges come from the
+    DICTIONARY, not mention surfaces — linking already resolved each
+    mention to its best candidate, so surface-sharing among linked
+    mentions is blind to the ambiguity.) The alias dict is small; the
+    self-join broadcasts. On web-scale dictionaries, pre-filter to
+    aliases observed in mentions and salt the hot aliases
+    (operators/skew.py)."""
+    a = alias_df.select("alias", "entity_id")
+    edges = (
+        a.alias("x")
+        .join(F.broadcast(a.alias("y")), "alias")
+        .select(
+            F.col("x.entity_id").alias("src"),
+            F.col("y.entity_id").alias("dst"),
+        )
+    )
+    comp = connected_components(edges)
+    return (
+        linked.join(
+            comp.withColumnRenamed("node", "entity_id"), "entity_id", "left"
+        )
+        .withColumn("entity_id", F.coalesce("component", "entity_id"))
+        .drop("component")
+    )
+
+
 def run_pipeline(
     pages: DataFrame,
     cfg: SpanMarkerConfig | None = None,
@@ -147,33 +177,7 @@ def run_pipeline(
         linked = linked.persist()
 
     if canonicalize:
-        # alias-ambiguity edges: two entity ids sharing an alias in
-        # the dictionary are the same real-world entity candidate set;
-        # connected components collapse them to one canonical id.
-        # (Edges come from the DICTIONARY, not mention surfaces —
-        # linking already resolved each mention to its best candidate,
-        # so surface-sharing among linked mentions is blind to the
-        # ambiguity.) The alias dict is small; the self-join
-        # broadcasts. On web-scale dictionaries, pre-filter to aliases
-        # observed in mentions and salt the hot aliases (operators/
-        # skew.py).
-        a = alias_df.select("alias", "entity_id")
-        edges = (
-            a.alias("x")
-            .join(F.broadcast(a.alias("y")), "alias")
-            .select(
-                F.col("x.entity_id").alias("src"),
-                F.col("y.entity_id").alias("dst"),
-            )
-        )
-        comp = connected_components(edges)
-        linked = (
-            linked.join(
-                comp.withColumnRenamed("node", "entity_id"), "entity_id", "left"
-            )
-            .withColumn("entity_id", F.coalesce("component", "entity_id"))
-            .drop("component")
-        )
+        linked = apply_canonicalize(linked, alias_df)
 
     triples = extract_relations(linked, sentences, patterns)
     return {

@@ -39,6 +39,7 @@ def doc_entities_flat(
     gaz: dict[str, int],
     text_col: str = "text",
     context_window: int = 0,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """pages -> one row per entity with DOC-level word indices:
     (url, doc_word_start, doc_word_end, span, label, score,
@@ -51,6 +52,11 @@ def doc_entities_flat(
     final (url, sentence_id) equi-join shuffles only THIN rows —
     one per entity and one (url, sid, int) per sentence — never the
     token arrays or the scoring work.
+
+    ``mentions`` injects an already-computed (e.g. persisted) mentions
+    frame for the same pages, skipping the NER UDF entirely — the
+    offsets branch is still derived here (cheap codegen). Caller owns
+    the equivalence (same pages, same config, context_window).
     """
     num_partitions = pages.sparkSession.sparkContext.defaultParallelism
     pages = pages.repartition(num_partitions, "url")
@@ -68,7 +74,8 @@ def doc_entities_flat(
         .cast("int")
         .alias("word_offset"),
     )
-    mentions = ner_mentions(sents, cfg, gaz, context_window=context_window)
+    if mentions is None:
+        mentions = ner_mentions(sents, cfg, gaz, context_window=context_window)
     return mentions.join(offsets, ["url", "sentence_id"]).select(
         "url",
         (F.col("word_start_index") + F.col("word_offset")).alias("doc_word_start"),

@@ -306,6 +306,23 @@ def stream_curated_docs(
     column of the sink (column pruning) and shuffles the (small)
     current batch against it broadcast-or-shuffled by size — the sink
     is never rewritten.
+
+    Guarantee boundaries (explicit, ADVICE r3):
+    - Exactly-once REQUIRES the checkpoint directory to be durable.
+      Epoch ids come from the streaming checkpoint; if it is lost,
+      epoch numbering restarts at 0 and dynamic overwrite replaces
+      old epoch partitions with different files' contents (unlike
+      stream_pages_to_triples_lineage, which additionally tracks
+      file-grained lineage and survives checkpoint loss). Put the
+      checkpoint on the same durability tier as the sink.
+    - Cross-batch dedup is EXACT-hash grain only: a near-duplicate
+      (MinHash-grain) of a previously accepted doc that arrives in a
+      later epoch is kept. Within one batch, curate() applies the
+      full dedup policy; across batches only content_hash is
+      indexed. If near-dup-across-epochs matters, maintain an LSH
+      side-index (banded operators/dedup.minhash_signature keys per
+      accepted doc) and anti-join on band keys — same plan shape,
+      bigger index.
     """
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)

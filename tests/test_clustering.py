@@ -91,3 +91,21 @@ def test_kmeans_vectors_never_shuffled(spark, blobs):
     )
     assert "hashpartitioning(vec_id" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_seeds_from_lowest_actual_ids(spark, blobs):
+    """ADVICE r3: ids that don't start at 0 must still seed k
+    centroids (the old `id < k` filter seeded an EMPTY set and
+    silently assigned every row cluster=-1). Shifting every id by
+    +1000 must produce the same clustering shifted by +1000."""
+    from spanmarkerner_spark.operators.clustering import kmeans
+
+    df = spark.createDataFrame(blobs, "vec_id long, embedding array<double>")
+    base = {r["vec_id"]: r["cluster_id"] for r in kmeans(df, dim=4, k=3, iters=3).collect()}
+    shifted_df = df.withColumn("vec_id", F.col("vec_id") + 1000)
+    shifted = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans(shifted_df, dim=4, k=3, iters=3).collect()
+    }
+    assert all(c >= 0 for c in shifted.values()), "degenerate -1 clusters"
+    assert shifted == {i + 1000: c + 1000 for i, c in base.items()}

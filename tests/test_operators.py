@@ -456,6 +456,75 @@ def test_sessionize_stateful_matches_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_sessionize_stateful_multi_batch_matches_batch(spark, tmp_path):
+    """State continuity ACROSS micro-batches (VERDICT r3 #5): the
+    events table split into 3 time-ordered files, streamed one file
+    per trigger (3 epochs), must fold to exactly the batch
+    sessionization result — sessions spanning a batch boundary hinge
+    on the carried (last_ts, counts) state."""
+    import os
+    import time
+
+    import __spark_entry__ as entrymod
+    from spanmarkerner_spark.streaming.ingest import sessionize_stateful
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        (r["user_id"], r["n_events"], r["n_sessions"])
+        for r in entrymod.queries()["events_sessionize"](spark, sf_dir).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    all_ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    t1, t2 = all_ts[len(all_ts) // 3], all_ts[2 * len(all_ts) // 3]
+    stream_dir = str(tmp_path / "events_stream")
+    os.makedirs(stream_dir)
+    chunks = [
+        ev.filter(F.col("ts") <= t1),
+        ev.filter((F.col("ts") > t1) & (F.col("ts") <= t2)),
+        ev.filter(F.col("ts") > t2),
+    ]
+    now = time.time()
+    for i, c in enumerate(chunks):
+        d = str(tmp_path / f"chunk{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"chunk{i}.parquet")
+        os.rename(os.path.join(d, part), dst)
+        # FileStreamSource orders by modification time: force strictly
+        # increasing mtimes so epoch order == event-time order (the
+        # stateful twin's documented arrival assumption)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    final: dict = {}
+    epochs: list[int] = []
+
+    def sink(df, epoch_id):
+        rows = df.collect()
+        if rows:
+            epochs.append(int(epoch_id))
+        for r in rows:  # later epochs overwrite: running totals
+            final[r["user_id"]] = (r["n_events"], r["n_sessions"])
+
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(epochs) >= 3, f"expected >=3 micro-batches, got {epochs}"
+    got = {(u, n, s) for u, (n, s) in final.items()}
+    assert got == expected
+
+
 def test_metrics_sink_roundtrip(spark, tmp_path):
     """S6: observation metrics land in the _metrics table and read
     back typed."""

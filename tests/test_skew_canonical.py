@@ -91,9 +91,23 @@ def test_canonicalization_merges_shared_aliases(spark):
 
 
 def test_canonicalize_noop_on_unambiguous(spark):
-    from spanmarkerner_spark.pipeline import run_pipeline
+    """With every cross-entity alias removed from the dictionary,
+    canonicalize must be an exact no-op. (The BUILTIN dict now carries
+    the deliberate 'apex' ambiguity so the driver fixtures can
+    discriminate the mode — tests/test_fixture_discrimination.py pins
+    the non-noop direction.)"""
+    from spanmarkerner_spark.pipeline import alias_dict_df, run_pipeline
 
     pages = spark.createDataFrame(gen_pages(15, seed=3), schema=schemas.PAGES)
-    t1 = {tuple(r) for r in run_pipeline(pages)["triples"].collect()}
-    t2 = {tuple(r) for r in run_pipeline(pages, canonicalize=True)["triples"].collect()}
-    assert t1 == t2  # builtin alias dict has no cross-entity aliases
+    unambiguous = alias_dict_df(spark).filter(F.col("alias") != "apex")
+    t1 = {
+        tuple(r)
+        for r in run_pipeline(pages, alias_df=unambiguous)["triples"].collect()
+    }
+    t2 = {
+        tuple(r)
+        for r in run_pipeline(
+            pages, alias_df=unambiguous, canonicalize=True
+        )["triples"].collect()
+    }
+    assert t1 == t2

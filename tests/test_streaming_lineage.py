@@ -25,7 +25,8 @@ def _write_file(spark, rows, pages_dir):
 
 
 def test_stream_resumes_from_lineage_after_checkpoint_loss(spark):
-    all_rows = gen_pages(80, seed=11)
+    # probes=False: this test slices rows into exact 20-page files
+    all_rows = gen_pages(80, seed=11, probes=False)
     tmp = tempfile.mkdtemp(prefix="stream_lineage_")
     pages_dir, out_dir = f"{tmp}/pages", f"{tmp}/kg"
     try:

@@ -11,16 +11,28 @@ import subprocess
 import sys
 import tempfile
 
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _spark_submit():
-    return shutil.which("spark-submit")
+    """spark-submit, PATH-independent (VERDICT r3 #4): PATH, then
+    $SPARK_HOME/bin, then the script bundled inside the pyspark
+    package — the last always exists in any env that can run these
+    tests, so the north-rule mechanism is always exercised."""
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    home = os.environ.get("SPARK_HOME")
+    if home and os.path.isfile(os.path.join(home, "bin", "spark-submit")):
+        return os.path.join(home, "bin", "spark-submit")
+    import pyspark
+
+    bundled = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    assert os.path.isfile(bundled), "no spark-submit anywhere (PATH/SPARK_HOME/pyspark)"
+    return bundled
 
 
-@pytest.mark.skipif(_spark_submit() is None, reason="spark-submit not on PATH")
 def test_spark_submit_pyfiles_end_to_end(spark):
     from spanmarkerner_spark import schemas
     from spanmarkerner_spark.config import KG_LABELS, SpanMarkerConfig
@@ -74,7 +86,8 @@ def test_spark_submit_pyfiles_end_to_end(spark):
             .filter("run_id = 'r1'")
             .collect()
         }
-        assert m["pages_in"] == 30.0 and m["triples"] == float(len(expected))
+        assert m["pages_in"] == float(len(rows))
+        assert m["triples"] == float(len(expected))
 
         # second submit: full resume no-op (zero-output buckets were
         # marked done via processed_input)

@@ -52,6 +52,8 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # point the kg fixture oracles at this scale's expected rows
+    os.environ["SMN_KG_FIXTURE_SF"] = os.path.basename(sf_dir.rstrip("/"))
 
     spark = get_spark(app_name="strict_check")
     con = duckdb.connect()
