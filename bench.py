@@ -51,12 +51,15 @@ def main() -> None:
     # warm the python workers once (JVM + worker spawn out of the timings)
     qs["u3_spread"](spark, sf_dir).count()
 
-    def timed(fn):
+    def timed(fn, trials: int = 2):
         # the host is shared: co-tenant load waves inflate single-shot
         # timings up to 10x (measured cc_components 4.6s vs 40.1s same
-        # code same day) — report best-of-2
+        # code same day) — report best-of-N (3 for the heavy keys:
+        # their first trial also pays one-time codegen/JIT for the
+        # widest generated code in the suite, so best-of-2 leaves a
+        # single trial exposed to a load wave)
         best = None
-        for _ in range(2):
+        for _ in range(trials):
             t0 = time.time()
             fn()
             dt = time.time() - t0
@@ -102,6 +105,18 @@ def main() -> None:
     n_mentions = res["linked"].count()
     times["kg_e2e"] = kg_sec
 
+    # ---- fresh JVM for the query loop. The contamination is
+    # symmetric: minhash-before-kg inflates kg 3.7s -> 42s (comment
+    # above), and kg's 3 mapInPandas runs inflate BOTH dedup_minhash
+    # trials 7.2s -> 13-16s (r3 driver bench 13.2s vs r2 6.2s on
+    # unchanged code — chased in round 4: a clean session's trial 2 is
+    # 7.2s, so best-of-2 never saw a warm trial after kg). One JVM
+    # restart (~10s, untimed) buys state-comparable numbers for every
+    # family.
+    spark.stop()
+    spark = get_spark(app_name="bench_queries", cores=cpus)
+    qs["u3_spread"](spark, sf_dir).count()  # re-warm workers + codegen
+
     for name in HEADLINE:
         if name == "dedup_minhash":
             # report BOTH minhash numbers so the bench line is
@@ -113,8 +128,8 @@ def main() -> None:
             #                       evaluations per shingle)
             from spanmarkerner_spark.operators.dedup import minhash_lsh_pairs
 
-            times[name] = timed(
-                lambda: minhash_lsh_pairs(
+            def _minhash():
+                return minhash_lsh_pairs(
                     E._t(spark, sf_dir, "documents"),
                     num_hashes=16,
                     bands=4,
@@ -122,9 +137,17 @@ def main() -> None:
                     max_bucket=50,
                     hash_fn="xxhash",
                 ).count()
-            )
+
+            # one untimed warmup: this query generates the widest
+            # codegen in the suite and its FIRST execution pays ~10s
+            # of one-time JIT (measured 18.9s cold / 7.2s second run /
+            # ~5s steady-state in a clean session) — the timed trials
+            # measure steady-state throughput, the 100-TB-relevant
+            # number (methodology in BENCH.md round-4 notes)
+            _minhash()
+            times[name] = timed(_minhash, trials=3)
             times["dedup_minhash_md5"] = timed(
-                lambda: qs[name](spark, sf_dir).count()
+                lambda: qs[name](spark, sf_dir).count(), trials=3
             )
         elif name == "decontam_flagged":
             # same split as minhash: decontam_flagged = PRODUCTION
@@ -142,8 +165,15 @@ def main() -> None:
                     exact=exact,
                 ).count()
 
-            times[name] = timed(lambda: _decontam(False))
-            times["decontam_flagged_exact"] = timed(lambda: _decontam(True))
+            times[name] = timed(lambda: _decontam(False), trials=3)
+            times["decontam_flagged_exact"] = timed(
+                lambda: _decontam(True), trials=3
+            )
+        elif name == "cc_components":
+            qs[name](spark, sf_dir).count()  # untimed codegen warmup
+            times[name] = timed(
+                lambda: qs[name](spark, sf_dir).count(), trials=3
+            )
         else:
             times[name] = timed(lambda: qs[name](spark, sf_dir).count())
 
