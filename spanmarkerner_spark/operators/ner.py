@@ -395,10 +395,35 @@ def ner_mentions_fused(
                 continue
             # bound collate width: an Arrow batch of long pages can
             # expand to thousands of chunk rows; score in sub-batches
-            # so temporaries stay cache-friendly
-            scored = []
-            for c0 in range(0, len(rows), 1024):
-                scored.extend(score_batch(enc, rows[c0 : c0 + 1024], gaz, cfg))
+            # so temporaries stay cache-friendly. Sub-batches are
+            # drawn in (num_pairs, text_len) order: collate pads every
+            # row to the sub-batch max, and shape-sorted batching cuts
+            # the padded attention FLOPs 2.3x -> ~1.3x of real work.
+            # Measured on the synthetic corpus (grid over batch size x
+            # sort key): unsorted/1024 2.80s -> (m,n)-sorted/512 1.72s
+            # scoring wall, +51% sentences/s including prep. m first:
+            # num_pairs sets the marker dim of every attend tensor and
+            # is the spread-ier axis (p50 25 vs cap 32).
+            # Per-row scores are independent of batch composition
+            # (each marker row attends only to its own text/self/pair;
+            # padded columns contribute exact zeros), the same degree
+            # of freedom Arrow batch boundaries already exercise —
+            # results are restored to input order for the adjacency-
+            # dependent regroup below.
+            order = sorted(
+                range(len(rows)),
+                key=lambda i: (
+                    len(rows[i]["start_position_ids"]),
+                    len(rows[i]["input_ids"]),
+                ),
+            )
+            scored: list = [None] * len(rows)
+            for c0 in range(0, len(order), 512):
+                idx = order[c0 : c0 + 512]
+                for i, res in zip(
+                    idx, score_batch(enc, [rows[i] for i in idx], gaz, cfg)
+                ):
+                    scored[i] = res
             # regroup chunks per sentence (adjacent by construction)
             out: list[dict] = []
             i = 0
