@@ -895,3 +895,23 @@ def test_curate_micro_batch_retry_is_exactly_once(spark):
         assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ensure_min_parallelism_noop_when_wide(spark):
+    """VERDICT r3 #8: on an already-wide input the helper must return
+    the SAME plan (no repartition Exchange added) — at 100 TB every
+    scan is well-split and the helper must never add a shuffle; on an
+    under-split input it widens to defaultParallelism."""
+    from spanmarkerner_spark.session import ensure_min_parallelism
+
+    wide = spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism)
+    out = ensure_min_parallelism(wide)
+    assert out is wide  # literally untouched, not just equal-planned
+
+    narrow = spark.range(0, 10_000, 1, 1)
+    widened = ensure_min_parallelism(narrow)
+    assert widened is not narrow
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
