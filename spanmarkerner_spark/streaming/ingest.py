@@ -215,16 +215,71 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 DOCS_SCHEMA = "doc_id long, text string"
 
 
+def _minhash_band_cols(
+    text_col, num_hashes: int, bands: int, shingle_n: int
+) -> tuple:
+    """(sh_h, band_keys) column pair for the near-dup sink index:
+    sh_h = xxhash64 per distinct word shingle (Jaccard over these
+    equals Jaccard over the shingles, 64-bit collisions negligible —
+    and the sink verify join never needs to re-read text); band_keys =
+    `bands` LSH keys from a minhash signature derived from the hashed
+    shingles (same banding scheme as dedup.minhash_lsh_pairs)."""
+    from spanmarkerner_spark.operators.dedup import shingle_tokens
+
+    rows_per_band = num_hashes // bands
+    # NOTE Catalyst project-collapsing re-inlines sh_h (and the sig
+    # aggregate) into each band lambda, so the shingle transform is
+    # evaluated ~bands+1 times per row. Negligible at micro-batch
+    # size; a bulk BACKFILL through this path should materialize the
+    # sh_h column first (localCheckpoint or an intermediate write) —
+    # same caveat class as the one documented in operators/dedup.
+    sh_h = F.transform(
+        F.array_distinct(shingle_tokens(text_col, shingle_n)),
+        lambda s: F.xxhash64(s),
+    )
+
+    def sig(col):
+        def step(acc, h):
+            hashes = F.array(
+                *[F.xxhash64(F.lit(k), h) for k in range(num_hashes)]
+            )
+            return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+        init = F.array_repeat(F.lit(2 ** 62).cast("long"), num_hashes)
+        return F.aggregate(col, init, step)
+
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b, F.slice(sig(F.col("sh_h")), b * rows_per_band + 1, rows_per_band).cast("string")
+        ),
+    )
+    return sh_h, band_keys
+
+
 def curate_micro_batch(
     batch_df: DataFrame,
     epoch_id: int,
     out_dir: str,
     benchmark: DataFrame,
     quality_min: float,
+    near_dup_bands: int = 0,
+    near_dup_threshold: float = 0.7,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
 ) -> None:
     """One micro-batch of the curated ingest — module-level so the
     retry semantics are directly testable (foreachBatch retries call
-    this again with the SAME epoch_id)."""
+    this again with the SAME epoch_id).
+
+    near_dup_bands > 0 additionally maintains an LSH side-index in
+    the sink (band_keys + hashed shingle sets per accepted doc) and
+    drops batch docs whose verified Jaccard against ANY prior-epoch
+    accepted doc reaches near_dup_threshold — the MinHash-grain
+    cross-batch dedup that the exact content-hash anti-join can't
+    see. A sink must be written with one mode throughout (the two
+    modes have different sink schemas). Near-dups WITHIN one batch
+    remain the batch-level curate() policy's business."""
     from spanmarkerner_spark.functions.hashing import portable_hash64
     from spanmarkerner_spark.operators.curation import curate
     from spanmarkerner_spark.operators.dedup import _norm_text
@@ -244,16 +299,47 @@ def curate_micro_batch(
             portable_hash64(_norm_text(F.col("text"))).alias("content_hash"),
         )
     )
+    if near_dup_bands:
+        sh_h, band_keys = _minhash_band_cols(
+            F.col("text"), num_hashes, near_dup_bands, shingle_n
+        )
+        kept = kept.withColumn("sh_h", sh_h).withColumn("band_keys", band_keys)
     from pyspark.errors import AnalysisException
 
     try:
-        seen = (
-            sp.read.parquet(out_dir)
-            .filter(F.col("epoch_id") != int(epoch_id))
-            .select("content_hash")
-            .distinct()
+        prior = sp.read.parquet(out_dir).filter(
+            F.col("epoch_id") != int(epoch_id)
         )
+        seen = prior.select("content_hash").distinct()
         kept = kept.join(seen, "content_hash", "left_anti")
+        if near_dup_bands:
+            # thin (batch_id, sink_id) candidates from the band-key
+            # equi-join — the shingle arrays never ride this exchange
+            # (same discipline as dedup.minhash_lsh_pairs); verify
+            # joins the arrays back for candidates only, reading just
+            # (doc_id, band_keys) then (doc_id, sh_h) off the sink
+            # (parquet column pruning)
+            sink_b = prior.select(
+                F.col("doc_id").alias("sink_id"),
+                F.explode("band_keys").alias("bk"),
+            )
+            batch_b = kept.select("doc_id", F.explode("band_keys").alias("bk"))
+            cand = batch_b.join(sink_b, "bk").select("doc_id", "sink_id").distinct()
+            verify = cand.join(kept.select("doc_id", "sh_h"), "doc_id").join(
+                prior.select(
+                    F.col("doc_id").alias("sink_id"),
+                    F.col("sh_h").alias("sink_sh"),
+                ),
+                "sink_id",
+            )
+            inter = F.size(F.array_intersect("sh_h", "sink_sh"))
+            union = F.size("sh_h") + F.size("sink_sh") - inter
+            near = (
+                verify.filter(inter / union >= F.lit(near_dup_threshold))
+                .select("doc_id")
+                .distinct()
+            )
+            kept = kept.join(near, "doc_id", "left_anti")
     except AnalysisException as e:
         # ONLY a missing sink (first epoch) may skip the dedup; a
         # readable-but-wrong sink (schema drift, bad footers) must
@@ -285,6 +371,8 @@ def stream_curated_docs(
     benchmark: DataFrame,
     quality_min: float = 0.9,
     max_files: int = 4,
+    near_dup_bands: int = 0,
+    near_dup_threshold: float = 0.7,
 ):
     """Incrementally curate a growing corpus: per micro-batch, apply
     the composed curation pass (operators/curation.py) and drop any
@@ -315,14 +403,13 @@ def stream_curated_docs(
       stream_pages_to_triples_lineage, which additionally tracks
       file-grained lineage and survives checkpoint loss). Put the
       checkpoint on the same durability tier as the sink.
-    - Cross-batch dedup is EXACT-hash grain only: a near-duplicate
-      (MinHash-grain) of a previously accepted doc that arrives in a
-      later epoch is kept. Within one batch, curate() applies the
-      full dedup policy; across batches only content_hash is
-      indexed. If near-dup-across-epochs matters, maintain an LSH
-      side-index (banded operators/dedup.minhash_signature keys per
-      accepted doc) and anti-join on band keys — same plan shape,
-      bigger index.
+    - Cross-batch dedup is EXACT-hash grain by default: a
+      near-duplicate (MinHash-grain) of a previously accepted doc
+      arriving in a later epoch is kept. near_dup_bands > 0 upgrades
+      the sink with an LSH side-index (band keys + hashed shingle
+      sets per accepted doc) and drops verified near-dups against
+      prior epochs too — see curate_micro_batch; pick ONE mode per
+      sink (the schemas differ).
     """
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -331,7 +418,11 @@ def stream_curated_docs(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        curate_micro_batch(batch_df, int(epoch_id), out_dir, benchmark, quality_min)
+        curate_micro_batch(
+            batch_df, int(epoch_id), out_dir, benchmark, quality_min,
+            near_dup_bands=near_dup_bands,
+            near_dup_threshold=near_dup_threshold,
+        )
 
     return (
         docs.writeStream.foreachBatch(process)

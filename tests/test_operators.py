@@ -915,3 +915,47 @@ def test_ensure_min_parallelism_noop_when_wide(spark):
         widened.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_curate_micro_batch_near_dup_across_epochs(spark):
+    """near_dup_bands>0: a MinHash-grain near-duplicate (one word
+    changed) of a previously accepted doc is dropped in a later
+    epoch; an unrelated doc passes; a retry of the later epoch stays
+    exactly-once (the near-dup index excludes the current epoch)."""
+    from spanmarkerner_spark.streaming.ingest import curate_micro_batch
+
+    tmp = tempfile.mkdtemp(prefix="curate_nd_")
+    try:
+        bench = spark.createDataFrame(
+            [(999, "zz qq ww unrelated bench text")], "doc_id long, text string"
+        )
+        base_words = [f"w{i}" for i in range(30)]
+        t = "alpha " + " ".join(base_words)
+        near = "alpha " + " ".join(["CHANGED" if i == 15 else w
+                                    for i, w in enumerate(base_words)])
+        fresh = "bravo " + " ".join(f"x{i}" for i in range(30))
+        out = f"{tmp}/out"
+        kw = dict(quality_min=0.0, near_dup_bands=4)
+        b0 = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        curate_micro_batch(b0, 0, out, bench, **kw)
+        assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+        b1 = spark.createDataFrame(
+            [(2, near), (3, fresh)], "doc_id long, text string"
+        )
+        curate_micro_batch(b1, 1, out, bench, **kw)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        ) == [1, 3]
+        # retry epoch 1: no loss, no duplication, near-dup still out
+        curate_micro_batch(b1, 1, out, bench, **kw)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        ) == [1, 3]
+        # the sink index survives: epoch 2 re-ships the near-dup text
+        b2 = spark.createDataFrame([(4, near)], "doc_id long, text string")
+        curate_micro_batch(b2, 2, out, bench, **kw)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        ) == [1, 3]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
