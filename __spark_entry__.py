@@ -2518,6 +2518,31 @@ def kg_triples(spark, sf_dir):
     return _kg_base(spark, sf_dir)["triples"].select(*_TRIPLE_COLS)
 
 
+@_q("kg_triples_rich", _kg_fixture_sql("triples_rich.parquet", _TRIPLE_COLS))
+def kg_triples_rich(spark, sf_dir):
+    """Rich relation extraction over the cached pipeline's linked
+    mentions: inverse-direction patterns ('x was acquired by y' ->
+    acquired(y, x)) and adverb-tolerant gap matching ('was quickly
+    acquired by' matches 'was acquired by'). Same single-pass plan
+    shape as the plain extractor (operators/relations.py); oracle =
+    fixture from the single-process twin oracle.oracle_triples_rich
+    over the identical linked mentions."""
+    from spanmarkerner_spark.datagen import (
+        RELATION_ADVERBS,
+        RELATION_PATTERNS_RICH,
+    )
+    from spanmarkerner_spark.operators.relations import extract_relations_rich
+
+    base = _kg_base(spark, sf_dir)
+    triples = extract_relations_rich(
+        base["linked"],
+        base["sentences"],
+        dict(RELATION_PATTERNS_RICH),
+        list(RELATION_ADVERBS),
+    )
+    return triples.select(*_TRIPLE_COLS)
+
+
 @_q(
     "kg_triples_canonical",
     _kg_fixture_sql("triples_canonical.parquet", _TRIPLE_COLS),
@@ -2603,12 +2628,16 @@ def multimodal_features(spark, sf_dir):
 # count-capped driver window truncating the tail still leaves every
 # operator with a checked row.
 _PRIORITY = [
-    "kg_mentions", "kg_triples", "kg_triples_canonical", "kg_linked_cross",
-    "spacy_doc_entities", "kg_mentions_context",
+    "kg_mentions", "kg_triples", "kg_triples_rich", "kg_triples_canonical",
+    "kg_linked_cross", "spacy_doc_entities", "kg_mentions_context",
     "model_card_stats", "trainer_eval_metrics", "multimodal_features",
     "ann_brute_topk", "ann_ivf_topk", "dedup_embedding",
 ]
 _TAIL = [
+    # agg_cube first: it is the cube-family's only remaining window
+    # candidate, so under a PARTIAL (time-based) cut it is the most
+    # valuable tail entry to still reach
+    "agg_cube",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",

@@ -61,6 +61,21 @@ RELATION_PATTERNS: dict[str, str] = {
     "makes": "makes",
 }
 
+#: rich-pattern dictionary: phrase -> (predicate, inverted). Inverted
+#: phrases express the SAME predicate with subject/object swapped
+#: ("globex was acquired by acme" == acquired(acme, globex)).
+RELATION_PATTERNS_RICH: dict[str, tuple[str, bool]] = {
+    **{k: (v, False) for k, v in RELATION_PATTERNS.items()},
+    "was acquired by": ("acquired", True),
+    "was founded by": ("founded", True),
+    "is made by": ("makes", True),
+    "employs": ("works_for", True),
+}
+
+#: tokens the rich matcher drops from the inter-mention gap before
+#: pattern lookup ("was quickly acquired by" still matches)
+RELATION_ADVERBS: list[str] = ["quickly", "quietly", "reportedly", "recently"]
+
 _FILLER = (
     "the a quick report said that yesterday analysts noted while many "
     "observers expected growth despite recent turmoil in markets and "
@@ -126,7 +141,20 @@ def _make_sentence(rng: random.Random, ents: list[dict]) -> str:
     if roll < 0.6:
         subj = _pick_entity(rng, ents)
         obj = _pick_entity(rng, ents)
-        phrase = rng.choice(list(RELATION_PATTERNS))
+        if rng.random() < 0.2:
+            # inverse-direction phrase (rich matcher swaps subj/obj;
+            # the PLAIN matcher correctly ignores it)
+            phrase = rng.choice(
+                sorted(k for k, (_, inv) in RELATION_PATTERNS_RICH.items() if inv)
+            )
+        else:
+            phrase = rng.choice(list(RELATION_PATTERNS))
+        if rng.random() < 0.2:
+            # adverb inside the phrase: the rich matcher filters it
+            # from the gap before lookup, the plain matcher misses it
+            w = phrase.split(" ")
+            w.insert(rng.randrange(len(w) + 1), rng.choice(RELATION_ADVERBS))
+            phrase = " ".join(w)
         return (
             f"{fill(rng.randint(1, 3))} {rng.choice(subj['aliases'])} "
             f"{phrase} {rng.choice(obj['aliases'])} {fill(rng.randint(1, 4))}"

@@ -75,3 +75,85 @@ def extract_relations(
     return phrased.join(F.broadcast(pat), "phrase").select(
         "subj", "pred", "obj", "url", "sentence_id"
     )
+
+
+def extract_relations_rich(
+    linked: DataFrame,
+    sentences: DataFrame,
+    patterns: dict[str, tuple[str, bool]],
+    ignore_tokens: list[str],
+) -> DataFrame:
+    """Rich pattern matching, same single-pass plan shape as
+    extract_relations (one groupBy + pair expansion in array
+    expressions + one thin sentence join + one broadcast pattern
+    join; zero UDFs), with two additions:
+
+    - **inverse patterns**: a dictionary entry (pred, inverted=True)
+      expresses the predicate with subject/object swapped — "globex
+      was acquired by acme" emits acquired(acme, globex);
+    - **adverb-tolerant gaps**: tokens in `ignore_tokens` are
+      filtered from the inter-mention token sequence before lookup,
+      so "was quickly acquired by" still matches "was acquired by".
+
+    Output matches extract_relations' (subj, pred, obj, url,
+    sentence_id) contract; the matched direction is folded into the
+    column order. Reference scope note: the reference repo is NER-only
+    (SURVEY.md §2.10) — this stage exists for the north_star's
+    'dependency-pattern relation extraction' and extends it the way a
+    dependency matcher treats adverbial modifiers as skippable."""
+    spark = linked.sparkSession
+    pat = spark.createDataFrame(
+        [(k, v, inv) for k, (v, inv) in patterns.items()],
+        "phrase string, pred string, inverted boolean",
+    )
+    grouped = (
+        linked.filter(F.col("entity_id").isNotNull())
+        .groupBy("url", "sentence_id")
+        .agg(
+            F.collect_list(
+                F.struct("entity_id", "word_start_index", "word_end_index")
+            ).alias("ms")
+        )
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(ms, m1 -> "
+        " transform(filter(ms, m2 -> m1.word_end_index <= m2.word_start_index), "
+        "  m2 -> struct(m1.entity_id as first_id, m2.entity_id as second_id, "
+        "              m1.word_end_index as gap_start, "
+        "              m2.word_start_index - m1.word_end_index as gap_len))))"
+    )
+    pairs = (
+        grouped.withColumn("pair", F.explode(pairs_expr))
+        .select("url", "sentence_id", "pair.*")
+    )
+    toks = sentences.select("url", "sentence_id", "tokens").hint("merge")
+    ignore = F.array(*[F.lit(t) for t in ignore_tokens])
+    phrased = (
+        pairs.join(toks, ["url", "sentence_id"])
+        .withColumn("_ignore", ignore)
+        .withColumn(
+            "phrase",
+            F.array_join(
+                F.expr(
+                    "filter(slice(tokens, gap_start + 1, gap_len), "
+                    "t -> NOT array_contains(_ignore, t))"
+                ),
+                " ",
+            ),
+        )
+        .drop("tokens", "_ignore")
+    )
+    return (
+        phrased.join(F.broadcast(pat), "phrase")
+        .select(
+            F.when(F.col("inverted"), F.col("second_id"))
+            .otherwise(F.col("first_id"))
+            .alias("subj"),
+            "pred",
+            F.when(F.col("inverted"), F.col("first_id"))
+            .otherwise(F.col("second_id"))
+            .alias("obj"),
+            "url",
+            "sentence_id",
+        )
+    )

@@ -230,6 +230,40 @@ def oracle_triples(linked: list[dict]) -> set[tuple]:
     return triples
 
 
+def oracle_triples_rich(
+    linked: list[dict],
+    patterns: dict[str, tuple[str, bool]],
+    ignore_tokens: list[str],
+) -> set[tuple]:
+    """Single-process twin of operators/relations.extract_relations_rich:
+    ordered mention pairs, gap tokens filtered of `ignore_tokens`,
+    matched against (pred, inverted) patterns; inverted swaps
+    subject/object."""
+    ignore = set(ignore_tokens)
+    by_sent: dict[tuple, list[dict]] = {}
+    for m in linked:
+        if m["entity_id"] is not None:
+            by_sent.setdefault((m["url"], m["sentence_id"]), []).append(m)
+    triples: set[tuple] = set()
+    for (url, sid), ms in by_sent.items():
+        toks = ms[0]["tokens"]
+        for m1 in ms:
+            for m2 in ms:
+                if m1["word_end_index"] <= m2["word_start_index"]:
+                    gap = toks[m1["word_end_index"] : m2["word_start_index"]]
+                    phrase = " ".join(t for t in gap if t not in ignore)
+                    hit = patterns.get(phrase)
+                    if hit:
+                        pred, inverted = hit
+                        s, o = (
+                            (m2["entity_id"], m1["entity_id"])
+                            if inverted
+                            else (m1["entity_id"], m2["entity_id"])
+                        )
+                        triples.add((s, pred, o, url, sid))
+    return triples
+
+
 def oracle_canonical_map() -> dict[int, int]:
     """Single-process twin of pipeline.run_pipeline(canonicalize=True):
     union-find over alias-dictionary ambiguity edges (two entity ids

@@ -56,3 +56,14 @@ def test_fixture_scales_exist(sf):
         f"missing fixtures for {sf}: regenerate with "
         f"python tools/gen_kg_fixtures.py --sf-dir /root/testdata/{sf}"
     )
+
+
+def test_rich_triples_strict_superset_of_plain():
+    """The rich matcher keeps every plain match (plain patterns are
+    the inverted=False subset; adverb filtering is a no-op on
+    adverb-free gaps) and adds inverse/adverb matches — both feature
+    classes must be non-vacuously present in the fixture corpus."""
+    plain = _rows("triples.parquet")
+    rich = _rows("triples_rich.parquet")
+    assert plain <= rich
+    assert len(rich) > len(plain), "no inverse/adverb sentence matched"

@@ -111,3 +111,33 @@ def test_canonicalize_noop_on_unambiguous(spark):
         )["triples"].collect()
     }
     assert t1 == t2
+
+
+def test_extract_relations_rich_inverse_and_adverbs(spark):
+    """Spark rich extractor vs the single-process twin on a page mix
+    of plain, inverse ('was acquired by' -> swapped args), and
+    adverb-injected ('was quickly acquired by') phrases."""
+    from spanmarkerner_spark.datagen import (
+        RELATION_ADVERBS,
+        RELATION_PATTERNS_RICH,
+    )
+    from spanmarkerner_spark.operators.relations import extract_relations_rich
+    from spanmarkerner_spark.oracle import oracle_triples_rich, run_oracle
+    from spanmarkerner_spark.pipeline import default_config, run_pipeline
+
+    pages = spark.createDataFrame(gen_pages(40, seed=77), schema=schemas.PAGES)
+    res = run_pipeline(pages, use_extracted=False)
+    got = {
+        tuple(r)
+        for r in extract_relations_rich(
+            res["linked"], res["sentences"],
+            dict(RELATION_PATTERNS_RICH), list(RELATION_ADVERBS),
+        ).collect()
+    }
+    o = run_oracle(gen_pages(40, seed=77), default_config(), use_extracted=False)
+    expected = oracle_triples_rich(
+        o["linked"], dict(RELATION_PATTERNS_RICH), list(RELATION_ADVERBS)
+    )
+    assert got == expected
+    plain = {tuple(r) for r in res["triples"].collect()}
+    assert plain < got  # inverse/adverb matches add triples

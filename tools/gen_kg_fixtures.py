@@ -188,6 +188,18 @@ def main() -> int:
                    os.path.join(out, "mentions.parquet"))
     pq.write_table(triples_table(plain["triples"]),
                    os.path.join(out, "triples.parquet"))
+    from spanmarkerner_spark.datagen import (
+        RELATION_ADVERBS,
+        RELATION_PATTERNS_RICH,
+    )
+    from spanmarkerner_spark.oracle import oracle_triples_rich
+
+    rich = oracle_triples_rich(
+        plain["linked"], dict(RELATION_PATTERNS_RICH), list(RELATION_ADVERBS)
+    )
+    pq.write_table(triples_table(rich),
+                   os.path.join(out, "triples_rich.parquet"))
+    print(f"triples_rich={len(rich)}")
     pq.write_table(doc_entities_table(pages, plain["mentions"]),
                    os.path.join(out, "doc_entities.parquet"))
     print(f"mentions={len(plain['mentions'])} triples={len(plain['triples'])}")
