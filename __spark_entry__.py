@@ -2544,6 +2544,36 @@ def kg_triples_rich(spark, sf_dir):
 
 
 @_q(
+    "kg_two_hop",
+    f"""
+    WITH t AS (SELECT DISTINCT subj, pred, obj
+               FROM read_parquet('{_KG_FIX_TOKEN}/triples.parquet'))
+    SELECT a.subj AS src, a.pred AS pred1, a.obj AS mid,
+           b.pred AS pred2, b.obj AS dst
+    FROM t a JOIN t b ON a.obj = b.subj
+    """,
+)
+def kg_two_hop(spark, sf_dir):
+    """Two-hop path query over the materialized graph: distinct
+    (subj, pred, obj) edges self-joined on mid-entity — the canonical
+    graph-traversal workload over the triple table ('partitioned
+    graph tables' in the north_star; at warehouse scale the triple
+    table is bucketed by subj via plans/bucketing.py so this
+    self-join is co-partitioned and shuffle-free)."""
+    base = _kg_base(spark, sf_dir)
+    t = base["triples"].select("subj", "pred", "obj").distinct()
+    a = t.alias("a")
+    b = t.alias("b")
+    return a.join(b, F.col("a.obj") == F.col("b.subj")).select(
+        F.col("a.subj").alias("src"),
+        F.col("a.pred").alias("pred1"),
+        F.col("a.obj").alias("mid"),
+        F.col("b.pred").alias("pred2"),
+        F.col("b.obj").alias("dst"),
+    )
+
+
+@_q(
     "kg_triples_canonical",
     _kg_fixture_sql("triples_canonical.parquet", _TRIPLE_COLS),
 )
@@ -2636,8 +2666,9 @@ _PRIORITY = [
 _TAIL = [
     # agg_cube first: it is the cube-family's only remaining window
     # candidate, so under a PARTIAL (time-based) cut it is the most
-    # valuable tail entry to still reach
-    "agg_cube",
+    # valuable tail entry to still reach; kg_two_hop next (its join
+    # operator is already covered by the J-family rows in-window)
+    "agg_cube", "kg_two_hop",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",

@@ -117,11 +117,12 @@ def _rows_equal(a, b):
     return True
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_is_value_oracled():
+    """Contract: ZERO rows-only queries — every registered query has a
+    DuckDB value oracle (the strongest driver signal). A new query
+    added without an oracle fails here instead of silently degrading
+    to the weaker rows-only check."""
+    assert ROWS_ONLY == [], f"queries missing oracles: {ROWS_ONLY}"
 
 
 def test_entry_smoke(spark):
