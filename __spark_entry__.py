@@ -1197,6 +1197,53 @@ def cluster_kmeans(spark, sf_dir):
 # ---- sessionization + time windows ------------------------------------
 
 @_q(
+    "events_session_window",
+    """
+    -- island detection: DuckDB twin of Spark's native session_window
+    -- (gap-merged sessions; end = last event + gap)
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)::TIMESTAMP_NS AS session_start,
+           (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP_NS AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (the gap-merged
+    session operator Structured Streaming uses for streaming session
+    windows; here exercised in batch mode where it is value-oracle-
+    checkable — the lag-based twin events_sessionize pins the same
+    gap rule at per-user grain). One keyed shuffle; sessions merge
+    map-side per user."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@_q(
     "events_sessionize",
     """
     WITH gaps AS (
@@ -2668,7 +2715,7 @@ _TAIL = [
     # candidate, so under a PARTIAL (time-based) cut it is the most
     # valuable tail entry to still reach; kg_two_hop next (its join
     # operator is already covered by the J-family rows in-window)
-    "agg_cube", "kg_two_hop",
+    "agg_cube", "kg_two_hop", "events_session_window",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",

@@ -959,3 +959,47 @@ def test_curate_micro_batch_near_dup_across_epochs(spark):
         ) == [1, 3]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_rate_limit_bounds_batches(spark, tmp_path):
+    """Backpressure evidence: maxFilesPerTrigger caps each micro-batch's
+    input — 6 files at max_files=2 must process in exactly 3 epochs,
+    each seeing <= 2 files' rows, and the union equals the input."""
+    import os
+
+    rows_per_file = 5
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i in range(6):
+        spark.createDataFrame(
+            [(i * rows_per_file + j, f"doc {i}-{j} " + "w " * 12)
+             for j in range(rows_per_file)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    # one part-file per append is not guaranteed; count actual files
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    seen: list[set] = []
+
+    def sink(df, epoch_id):
+        ids = {r["doc_id"] for r in df.select("doc_id").collect()}
+        if ids:
+            seen.append(ids)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(seen) == (n_files + 1) // 2
+    assert all(len(ids) <= 2 * rows_per_file for ids in seen)
+    got = set().union(*seen)
+    assert got == set(range(6 * rows_per_file))
+    # batches are disjoint (no file processed twice)
+    assert sum(len(s) for s in seen) == len(got)
