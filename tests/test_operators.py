@@ -1003,3 +1003,33 @@ def test_stream_rate_limit_bounds_batches(spark, tmp_path):
     assert got == set(range(6 * rows_per_file))
     # batches are disjoint (no file processed twice)
     assert sum(len(s) for s in seen) == len(got)
+
+
+def test_graph_store_two_hop_no_exchange(spark, tmp_path):
+    """Graph-table materialization: the two-hop traversal over the
+    doubly-bucketed edge store plans WITHOUT any Exchange (both join
+    inputs are pre-bucketed on their join endpoint), and its paths
+    equal the plain self-join."""
+    from spanmarkerner_spark.plans.graph_store import two_hop, write_graph_store
+
+    edges = spark.createDataFrame(
+        [(1, "works_for", 2), (2, "located_in", 3), (2, "acquired", 4),
+         (4, "located_in", 5), (3, "makes", 1), (1, "works_for", 2)],
+        "subj long, pred string, obj long",
+    )
+    write_graph_store(edges, "t_graph", str(tmp_path / "graph"), n_buckets=4)
+    try:
+        paths = two_hop(spark, "t_graph")
+        plan = paths._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {tuple(r) for r in paths.collect()}
+        e = edges.distinct()
+        expected = {
+            (a["subj"], a["pred"], a["obj"], b["pred"], b["obj"])
+            for a in e.collect() for b in e.collect()
+            if a["obj"] == b["subj"]
+        }
+        assert got == expected and len(got) == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_graph_by_subj")
+        spark.sql("DROP TABLE IF EXISTS t_graph_by_obj")
