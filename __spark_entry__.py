@@ -782,9 +782,15 @@ def agg_quantiles(spark, sf_dir):
     )
 
 
-def _kmeans_ctes(k: int, dim: int, iters: int) -> list[str]:
+def _kmeans_ctes(
+    k: int, dim: int, iters: int, prefix: str = "", vec_expr: str = "embedding"
+) -> list[str]:
     """Shared CTE chain: quantize -> seed -> iters x (assign, update).
-    a{iters} is the final assignment, c{iters-1} the final centroids."""
+    {prefix}a{iters} is the final assignment, {prefix}c{iters-1} the
+    final centroids. prefix/vec_expr let several independent chains
+    coexist in one statement (the PQ oracle trains one codebook per
+    embedding subspace: vec_expr = a list_slice of the vector)."""
+    p = prefix
     dist = (
         "list_sum(list_transform(range(1, {d}), "
         "i -> (q.qv[i]-c.cvec[i])*(q.qv[i]-c.cvec[i])))"
@@ -792,32 +798,32 @@ def _kmeans_ctes(k: int, dim: int, iters: int) -> list[str]:
     ctes = [
         # NULL embeddings are dropped on BOTH sides (clustering.py
         # filters them before quantize)
-        "q AS (SELECT vec_id, list_transform(embedding, x -> "
+        f"{p}q AS (SELECT vec_id, list_transform({vec_expr}, x -> "
         "CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qv "
         "FROM embeddings WHERE embedding IS NOT NULL)",
         # seed = k LOWEST ACTUAL ids (mirrors clustering.train's
         # orderBy(id).limit(k) — robust to id ranges not starting at 0)
-        f"c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q "
+        f"{p}c0 AS (SELECT vec_id AS cid, qv AS cvec FROM {p}q "
         f"ORDER BY vec_id LIMIT {k})",
     ]
     for t in range(1, iters + 1):
         ctes.append(
-            f"a{t} AS (SELECT vec_id, qv, cid, dist FROM ("
+            f"{p}a{t} AS (SELECT vec_id, qv, cid, dist FROM ("
             f"  SELECT *, row_number() OVER ("
             f"    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ("
             f"    SELECT q.vec_id, q.qv, c.cid, {dist} AS dist"
-            f"    FROM q, c{t - 1} c)) WHERE rn = 1)"
+            f"    FROM {p}q q, {p}c{t - 1} c)) WHERE rn = 1)"
         )
         if t < iters:
             ctes.append(
-                f"cs{t} AS (SELECT cid, i, "
+                f"{p}cs{t} AS (SELECT cid, i, "
                 f"CAST(floor(SUM(qv[i]) * 1.0 / COUNT(*)) AS BIGINT) AS v "
-                f"FROM a{t}, UNNEST(range(1, {dim + 1})) AS u(i) "
+                f"FROM {p}a{t}, UNNEST(range(1, {dim + 1})) AS u(i) "
                 f"GROUP BY cid, i)"
             )
             ctes.append(
-                f"c{t} AS (SELECT cid, list(v ORDER BY i) AS cvec "
-                f"FROM cs{t} GROUP BY cid)"
+                f"{p}c{t} AS (SELECT cid, list(v ORDER BY i) AS cvec "
+                f"FROM {p}cs{t} GROUP BY cid)"
             )
     return ctes
 
@@ -874,6 +880,67 @@ def _ivf_kmeans_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank "
         f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+def _pq_sql(
+    m_sub: int, sub: int, k_codes: int, iters: int, topk: int, n_queries: int
+) -> str:
+    """DuckDB mirror of similarity.pq_topk: per subspace, the SAME
+    unrolled k-means CTE chain (prefix s{m}_, vec = list_slice of the
+    embedding) trains the codebook AND assigns every vector its code
+    (s{m}_a{iters}); the ADC distance table joins queries x codebook;
+    summing the per-subspace code distances is exact BIGINT."""
+    ctes: list[str] = []
+    pair_sqls = []
+    dist = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (qq.qv[i]-c.cvec[i])*(qq.qv[i]-c.cvec[i])))"
+    ).format(d=sub + 1)
+    for m in range(m_sub):
+        p = f"s{m}_"
+        ctes += _kmeans_ctes(
+            k_codes, sub, iters, prefix=p,
+            vec_expr=f"list_slice(embedding, {m * sub + 1}, {(m + 1) * sub})",
+        )
+        ctes.append(
+            f"{p}dtab AS (SELECT qq.vec_id AS query_id, c.cid, {dist} AS dist"
+            f"  FROM {p}q qq, {p}c{iters - 1} c WHERE qq.vec_id < {n_queries})"
+        )
+        pair_sqls.append(
+            f"SELECT d.query_id, a.vec_id AS neighbor_id, d.dist"
+            f"  FROM {p}dtab d JOIN {p}a{iters} a ON a.cid = d.cid"
+        )
+    ctes.append(
+        "adc AS (SELECT query_id, neighbor_id, SUM(dist)::BIGINT AS dist "
+        "FROM (" + " UNION ALL ".join(pair_sqls) + ") GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, neighbor_id, dist, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC)"
+        "  AS rank FROM adc)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, neighbor_id, dist, rank::BIGINT AS rank "
+        f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@_q("ann_pq_adc", _pq_sql(m_sub=4, sub=16, k_codes=8, iters=2, topk=5,
+                          n_queries=8))
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with Asymmetric Distance Computation
+    (FAISS PQ layout): 4 independent per-subspace codebooks trained
+    by the shared integer Lloyd's, corpus compressed to 4 code ids
+    per vector, queries ranked by summed code-centroid distances —
+    training, encoding, and ADC all value-pinned by one unrolled CTE
+    statement."""
+    from spanmarkerner_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), dim=64, m_sub=4, k_codes=8,
+        iters=2, k=5, n_queries=8,
     )
 
 
@@ -2715,7 +2782,7 @@ _TAIL = [
     # candidate, so under a PARTIAL (time-based) cut it is the most
     # valuable tail entry to still reach; kg_two_hop next (its join
     # operator is already covered by the J-family rows in-window)
-    "agg_cube", "kg_two_hop", "events_session_window",
+    "agg_cube", "kg_two_hop", "events_session_window", "ann_pq_adc",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",

@@ -348,3 +348,83 @@ def ivf_kmeans_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    dim: int,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (FAISS PQ / ADC layout): the vector
+    space is split into `m_sub` subspaces; clustering.train learns an
+    independent `k_codes`-entry codebook per subspace (the SAME
+    integer Lloyd's shared by cluster_kmeans / ivf_kmeans_topk, so
+    the unrolled-CTE oracle covers the training too); each corpus
+    vector compresses to m_sub code ids; a query scores candidates by
+    Asymmetric Distance Computation — sum over subspaces of the
+    (query-subvector -> assigned-code-centroid) squared distance,
+    exact BIGINT arithmetic throughout.
+
+    Returns (query_id, neighbor_id, dist, rank), rank by (dist asc,
+    neighbor_id asc), queries = first n_queries corpus ids.
+
+    Scale design (10^10 vectors): codes are the stored index —
+    m_sub * log2(k_codes) bits per vector instead of dim floats (64x
+    compression at these defaults). The per-subspace distance table
+    (n_queries x k_codes, tiny) is BROADCAST against the code table,
+    so the corpus side is never shuffled until the final
+    (query, neighbor) aggregation — and a production deployment
+    composes this with IVF pruning (ivf_kmeans_topk) so that
+    aggregation only sees nprobe cells' candidates, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    from .clustering import _sq_dist, train
+
+    sub = dim // m_sub
+    pair_parts = []
+    for m in range(m_sub):
+        sub_vecs = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub + 1, sub).alias(vec_col),
+        )
+        qvecs_m, cent_m, assigned_m = train(
+            sub_vecs, sub, k=k_codes, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        queries_m = qvecs_m.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
+        )
+        # ADC distance table: n_queries x k_codes rows, tiny
+        dtab = queries_m.crossJoin(F.broadcast(cent_m)).select(
+            "query_id",
+            "cid",
+            _sq_dist(F.col("qq"), F.col("cvec")).alias("dist"),
+        )
+        codes_m = assigned_m.select(
+            F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cid")
+        )
+        # broadcast the table; the (thin) code column streams map-side
+        pair_parts.append(codes_m.join(F.broadcast(dtab), "cid").select(
+            "query_id", "neighbor_id", "dist"
+        ))
+    allm = pair_parts[0]
+    for p in pair_parts[1:]:
+        allm = allm.unionByName(p)
+    adc = allm.groupBy("query_id", "neighbor_id").agg(
+        F.sum("dist").cast("long").alias("dist")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )

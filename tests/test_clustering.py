@@ -109,3 +109,24 @@ def test_kmeans_seeds_from_lowest_actual_ids(spark, blobs):
     }
     assert all(c >= 0 for c in shifted.values()), "degenerate -1 clusters"
     assert shifted == {i + 1000: c + 1000 for i, c in base.items()}
+
+
+def test_pq_topk_deterministic_across_parallelism(spark):
+    """PQ/ADC ranking is pure integer arithmetic: identical output at
+    2 and 8 input partitions."""
+    import numpy as np
+
+    from spanmarkerner_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got2 = sorted(map(tuple, pq_topk(
+        df.repartition(2), dim=16, m_sub=4, k_codes=4, iters=2, k=3,
+        n_queries=4).collect()))
+    got8 = sorted(map(tuple, pq_topk(
+        df.repartition(8), dim=16, m_sub=4, k_codes=4, iters=2, k=3,
+        n_queries=4).collect()))
+    assert got2 == got8
+    assert {q for q, *_ in got2} == {0, 1, 2, 3}
+    assert all(r <= 3 for *_, r in got2)
