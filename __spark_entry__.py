@@ -2713,6 +2713,57 @@ def kg_triples_canonical(spark, sf_dir):
 
 
 @_q(
+    "multimodal_frame_stats",
+    """
+    -- videos in synth_media(200): i%3==2, duration 1000+i*10,
+    -- payload hex = md5('42|'||i) repeated 4+i%8 times; per-frame
+    -- stub feature = first md5 byte of hex||'|'||ts (mirrors
+    -- multimodal._fake_frame_decode); temporal aggregation per video.
+    WITH v AS (
+      SELECT i AS media_id,
+             repeat(md5('42|' || i), 4 + i % 8) AS hex,
+             1000 + i * 10 AS duration_ms
+      FROM (SELECT unnest(range(200)) AS i) WHERE i % 3 = 2
+    ), frames AS (
+      SELECT media_id,
+             unnest(range(0, duration_ms + 1, 500)) AS ts,
+             hex
+      FROM v
+    ), feats AS (
+      SELECT media_id, ts,
+             ('0x' || substr(md5(hex || '|' || ts), 1, 2))::BIGINT AS f0
+      FROM frames
+    )
+    SELECT media_id,
+           count(*)::BIGINT AS n_frames,
+           min(f0)::BIGINT AS f_min,
+           max(f0)::BIGINT AS f_max,
+           sum(f0)::BIGINT AS f_sum
+    FROM feats GROUP BY media_id
+    """,
+)
+def multimodal_frame_stats(spark, sf_dir):
+    """Video path end-to-end: frame sampling (pure expressions) ->
+    per-frame decode (Arrow UDF, stubbed deterministically) ->
+    temporal aggregation per video. The aggregation is the
+    keyed-shuffle stage a real video-feature pipeline needs; the
+    decode slot is the documented real_decode extension point."""
+    ship_package(spark)
+    from spanmarkerner_spark.operators.multimodal import (
+        frame_features,
+        synth_media,
+    )
+
+    feats = frame_features(synth_media(spark, 200), every_ms=500)
+    return feats.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.min("f0").cast("long").alias("f_min"),
+        F.max("f0").cast("long").alias("f_max"),
+        F.sum("f0").cast("long").alias("f_sum"),
+    )
+
+
+@_q(
     "multimodal_features",
     """
     -- mirror of synth_media + _fake_decode: payload = md5('42|'||i)
@@ -2783,6 +2834,7 @@ _TAIL = [
     # valuable tail entry to still reach; kg_two_hop next (its join
     # operator is already covered by the J-family rows in-window)
     "agg_cube", "kg_two_hop", "events_session_window", "ann_pq_adc",
+    "multimodal_frame_stats",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",

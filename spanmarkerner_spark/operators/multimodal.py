@@ -114,3 +114,43 @@ def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def _fake_frame_decode(payload: bytes, frame_ts_ms: int) -> int:
+    """Per-frame STUB decoder (stands in for `av` frame extraction +
+    a feature head): one deterministic 0-255 feature from the
+    (payload, timestamp) pair, md5 over the hex encoding so the SQL
+    oracle reproduces it exactly."""
+    h = hashlib.md5(f"{payload.hex()}|{frame_ts_ms}".encode()).hexdigest()
+    return int(h[:2], 16)
+
+
+def frame_features(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """The full video path: frame_sample (pure expressions) -> join
+    payloads back by media_id (thin: one payload row per video) ->
+    per-frame decode in an Arrow-batched UDF. Returns
+    (media_id, frame_ts_ms, f0). At scale the frame table carries
+    only (media_id, ts) through the exchange; payload bytes join in
+    once per video and fan out to frames map-side."""
+
+    frames = frame_sample(media, every_ms)
+    joined = frames.join(
+        media.select("media_id", "payload"), "media_id"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "f0": [
+                        _fake_frame_decode(bytes(p), int(t))
+                        for p, t in zip(pdf["payload"], pdf["frame_ts_ms"])
+                    ],
+                }
+            )
+
+    return joined.mapInPandas(
+        fn, schema="media_id long, frame_ts_ms int, f0 long"
+    )

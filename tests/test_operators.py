@@ -155,6 +155,26 @@ def test_multimodal_features_and_frames(spark):
     assert one == dur // 500 + 1
 
 
+def test_frame_features_join_fanout(spark):
+    """Per-frame decode: every sampled frame of every video gets a
+    feature row; features are deterministic functions of
+    (payload, ts) so two runs agree exactly."""
+    from spanmarkerner_spark.operators.multimodal import (
+        frame_features,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    feats = frame_features(media, every_ms=500)
+    n_frames = frame_sample(media, every_ms=500).count()
+    rows = feats.collect()
+    assert len(rows) == n_frames
+    assert all(0 <= r["f0"] <= 255 for r in rows)
+    again = {(r["media_id"], r["frame_ts_ms"]): r["f0"] for r in feats.collect()}
+    assert {(r["media_id"], r["frame_ts_ms"]): r["f0"] for r in rows} == again
+
+
 def test_real_decode_is_stubbed():
     from spanmarkerner_spark.operators.multimodal import real_decode
 
