@@ -141,3 +141,53 @@ def test_extract_relations_rich_inverse_and_adverbs(spark):
     assert got == expected
     plain = {tuple(r) for r in res["triples"].collect()}
     assert plain < got  # inverse/adverb matches add triples
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew handling (north_star: 'AQE skew handling' on the hot
+    paths): a join with one massively hot key is re-planned at
+    runtime as SortMergeJoin(skew=true) with AQEShuffleRead skewed —
+    the runtime complement to the explicit salting operators above.
+    Thresholds are lowered so the local-mode shuffle qualifies; on a
+    real cluster the defaults (factor 5 / 256MB) trigger on genuinely
+    pathological keys only."""
+    keys = [
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        heavy = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 190_000, 0)
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pay"),
+        )
+        light = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("t").alias("tag")
+        )
+        j = heavy.join(light.hint("merge"), "k")
+        n = len(j.collect())
+        assert n == 200_000  # correctness unchanged by the skew split
+        plan = (
+            j._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
