@@ -856,7 +856,8 @@ def _ivf_kmeans_sql(
         f"  SELECT qq.vec_id AS query_id, qq.qv AS qq, c.cid, "
         f"    row_number() OVER (PARTITION BY qq.vec_id "
         f"      ORDER BY {dist_p} ASC, c.cid ASC) AS pr"
-        f"  FROM q qq, c{iters - 1} c WHERE qq.vec_id < {n_queries})"
+        f"  FROM q qq, c{iters - 1} c WHERE qq.vec_id IN "
+        f"    (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_queries}))"
         f" WHERE pr <= {nprobe})"
     )
     ctes.append(
@@ -905,7 +906,8 @@ def _pq_sql(
         )
         ctes.append(
             f"{p}dtab AS (SELECT qq.vec_id AS query_id, c.cid, {dist} AS dist"
-            f"  FROM {p}q qq, {p}c{iters - 1} c WHERE qq.vec_id < {n_queries})"
+            f"  FROM {p}q qq, {p}c{iters - 1} c WHERE qq.vec_id IN "
+            f"    (SELECT vec_id FROM {p}q ORDER BY vec_id LIMIT {n_queries}))"
         )
         pair_sqls.append(
             f"SELECT d.query_id, a.vec_id AS neighbor_id, d.dist"
@@ -1269,15 +1271,19 @@ def cluster_kmeans(spark, sf_dir):
     -- island detection: DuckDB twin of Spark's native session_window
     -- (gap-merged sessions; end = last event + gap)
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+      -- BOTH windows order by (ts, event_id): with duplicate
+      -- timestamps an order-by-ts-only running sum could place a
+      -- same-ts row before its partition's new_s=1 row,
+      -- nondeterministically splitting one Spark session in two
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
@@ -2529,6 +2535,12 @@ _KG_CACHE: dict[tuple, dict] = {}
 
 def _kg_base(spark: SparkSession, sf_dir: str, ctx_window: int = 0) -> dict:
     key = (id(spark.sparkContext), os.path.abspath(sf_dir), ctx_window)
+    # hygiene: entries from a DIFFERENT (stopped/replaced) context are
+    # dead weight pinning old object graphs — drop them so a process
+    # that stops and recreates sessions (bench.py's restart pattern)
+    # never accumulates stale persisted frames (round-4 review)
+    for stale in [k for k in _KG_CACHE if k[0] != key[0]]:
+        _KG_CACHE.pop(stale, None)
     res = _KG_CACHE.get(key)
     if res is None:
         ship_package(spark)

@@ -105,14 +105,17 @@ def main() -> None:
     n_mentions = res["linked"].count()
     times["kg_e2e"] = kg_sec
 
-    # ---- fresh JVM for the query loop. The contamination is
-    # symmetric: minhash-before-kg inflates kg 3.7s -> 42s (comment
+    # ---- fresh SparkContext for the query loop (NOTE: stop() +
+    # getOrCreate() recreates the CONTEXT — executors, block manager,
+    # python workers, per-session codegen cache — inside the SAME
+    # py4j JVM; JVM-wide JIT/heap state survives). The contamination
+    # is symmetric: minhash-before-kg inflates kg 3.7s -> 42s (comment
     # above), and kg's 3 mapInPandas runs inflate BOTH dedup_minhash
     # trials 7.2s -> 13-16s (r3 driver bench 13.2s vs r2 6.2s on
     # unchanged code — chased in round 4: a clean session's trial 2 is
-    # 7.2s, so best-of-2 never saw a warm trial after kg). One JVM
-    # restart (~10s, untimed) buys state-comparable numbers for every
-    # family.
+    # 7.2s, so best-of-2 never saw a warm trial after kg). The context
+    # restart (~10s, untimed) empirically restored clean-session
+    # timings, so the polluting state is context-scoped, not JVM-wide.
     spark.stop()
     spark = get_spark(app_name="bench_queries", cores=cpus)
     qs["u3_spread"](spark, sf_dir).count()  # re-warm workers + codegen

@@ -30,50 +30,18 @@ def extract_relations(
     linked: DataFrame, sentences: DataFrame, patterns: dict[str, str]
 ) -> DataFrame:
     """linked mentions + sentences(tokens) -> triples
-    (subj, pred, obj, url, sentence_id)."""
-    spark = linked.sparkSession
-    pat = spark.createDataFrame(
-        [(k, v) for k, v in patterns.items()], "phrase string, pred string"
-    )
-    grouped = (
-        linked.filter(F.col("entity_id").isNotNull())
-        .groupBy("url", "sentence_id")
-        .agg(
-            F.collect_list(
-                F.struct("entity_id", "word_start_index", "word_end_index")
-            ).alias("ms")
-        )
-    )
-    # ordered-pair expansion in pure array expressions
-    pairs_expr = F.expr(
-        "flatten(transform(ms, m1 -> "
-        " transform(filter(ms, m2 -> m1.word_end_index <= m2.word_start_index), "
-        "  m2 -> struct(m1.entity_id as subj, m2.entity_id as obj, "
-        "              m1.word_end_index as gap_start, "
-        "              m2.word_start_index - m1.word_end_index as gap_len))))"
-    )
-    pairs = (
-        grouped.withColumn("pair", F.explode(pairs_expr))
-        .select("url", "sentence_id", "pair.*")
-    )
-    # the sentences side is NEVER broadcastable (it is the corpus):
-    # without the hint Catalyst's size guess for the
-    # explode-after-exchange subtree can come in under the broadcast
-    # threshold and plan a driver-side broadcast build of every
-    # sentence's token array — measured 14s of the 42s e2e at 216k
-    # sentences, and a driver OOM at real scale. Sort-merge on
-    # (url, sentence_id) shuffles both (thin) sides instead.
-    toks = sentences.select("url", "sentence_id", "tokens").hint("merge")
-    phrased = (
-        pairs.join(toks, ["url", "sentence_id"])
-        .withColumn(
-            "phrase",
-            F.array_join(F.expr("slice(tokens, gap_start + 1, gap_len)"), " "),
-        )
-        .drop("tokens")
-    )
-    return phrased.join(F.broadcast(pat), "phrase").select(
-        "subj", "pred", "obj", "url", "sentence_id"
+    (subj, pred, obj, url, sentence_id).
+
+    Delegates to extract_relations_rich with every pattern
+    forward-direction and an empty ignore set — ONE pair-expansion /
+    phrase-match implementation, so a fix to the pair rule or the gap
+    arithmetic can never apply to one extractor only (round-4 review:
+    the two copies had started life duplicated)."""
+    return extract_relations_rich(
+        linked,
+        sentences,
+        {k: (v, False) for k, v in patterns.items()},
+        ignore_tokens=[],
     )
 
 
@@ -127,22 +95,27 @@ def extract_relations_rich(
         .select("url", "sentence_id", "pair.*")
     )
     toks = sentences.select("url", "sentence_id", "tokens").hint("merge")
-    ignore = F.array(*[F.lit(t) for t in ignore_tokens])
-    phrased = (
-        pairs.join(toks, ["url", "sentence_id"])
-        .withColumn("_ignore", ignore)
-        .withColumn(
-            "phrase",
-            F.array_join(
-                F.expr(
-                    "filter(slice(tokens, gap_start + 1, gap_len), "
-                    "t -> NOT array_contains(_ignore, t))"
-                ),
-                " ",
+    joined = pairs.join(toks, ["url", "sentence_id"])
+    if ignore_tokens:
+        phrase = F.array_join(
+            F.expr(
+                "filter(slice(tokens, gap_start + 1, gap_len), "
+                "t -> NOT array_contains(_ignore, t))"
             ),
+            " ",
         )
-        .drop("tokens", "_ignore")
-    )
+        joined = joined.withColumn(
+            "_ignore", F.array(*[F.lit(t) for t in ignore_tokens])
+        )
+    else:
+        # a zero-element F.array() is array<void> and breaks
+        # array_contains resolution — and the filter is an identity
+        # anyway, so the plain-extractor delegation keeps its exact
+        # original expression shape
+        phrase = F.array_join(
+            F.expr("slice(tokens, gap_start + 1, gap_len)"), " "
+        )
+    phrased = joined.withColumn("phrase", phrase).drop("tokens", "_ignore")
     return (
         phrased.join(F.broadcast(pat), "phrase")
         .select(

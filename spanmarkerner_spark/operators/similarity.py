@@ -315,7 +315,11 @@ def ivf_kmeans_topk(
         corpus, dim, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
 
-    queries = qvecs.filter(F.col(id_col) < n_queries).select(
+    # lowest n_queries ACTUAL ids (TakeOrderedAndProject) — an
+    # `id < n` filter silently returns an EMPTY result on id ranges
+    # not starting at 0, the same degenerate-silence the round-4
+    # kmeans seeding fix removed (found by round-4 code review)
+    queries = qvecs.orderBy(F.col(id_col).asc()).limit(n_queries).select(
         F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
     )
     pairs = queries.crossJoin(F.broadcast(cent)).withColumn(
@@ -398,7 +402,8 @@ def pq_topk(
             sub_vecs, sub, k=k_codes, iters=iters,
             id_col=id_col, vec_col=vec_col,
         )
-        queries_m = qvecs_m.filter(F.col(id_col) < n_queries).select(
+        # lowest n_queries actual ids (see ivf_kmeans_topk note)
+        queries_m = qvecs_m.orderBy(F.col(id_col).asc()).limit(n_queries).select(
             F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
         )
         # ADC distance table: n_queries x k_codes rows, tiny

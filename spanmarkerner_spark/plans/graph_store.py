@@ -34,15 +34,21 @@ def write_graph_store(
     """Materialize the DISTINCT edge set under both bucket layouts.
     `triples` may carry provenance columns (url, sentence_id); the
     graph store keeps the edge grain."""
-    edges = triples.select(*EDGE_COLS).distinct()
-    write_bucketed(
-        edges, f"{table_prefix}_by_subj", "subj", n_buckets,
-        f"{path_prefix}_by_subj",
-    )
-    write_bucketed(
-        edges, f"{table_prefix}_by_obj", "obj", n_buckets,
-        f"{path_prefix}_by_obj",
-    )
+    # persist across the TWO writes: without it the full upstream plan
+    # (potentially the whole KG pipeline) plus the distinct shuffle
+    # re-executes for the second layout (round-4 review)
+    edges = triples.select(*EDGE_COLS).distinct().persist()
+    try:
+        write_bucketed(
+            edges, f"{table_prefix}_by_subj", "subj", n_buckets,
+            f"{path_prefix}_by_subj",
+        )
+        write_bucketed(
+            edges, f"{table_prefix}_by_obj", "obj", n_buckets,
+            f"{path_prefix}_by_obj",
+        )
+    finally:
+        edges.unpersist()
 
 
 def two_hop(spark: SparkSession, table_prefix: str) -> DataFrame:

@@ -130,3 +130,22 @@ def test_pq_topk_deterministic_across_parallelism(spark):
     assert got2 == got8
     assert {q for q, *_ in got2} == {0, 1, 2, 3}
     assert all(r <= 3 for *_, r in got2)
+
+
+def test_pq_and_ivf_queries_from_lowest_actual_ids(spark):
+    """Round-4 review: query selection must be the n lowest ACTUAL
+    ids, not `id < n` (which silently returns empty on offset id
+    ranges)."""
+    import numpy as np
+
+    from spanmarkerner_spark.operators.similarity import ivf_kmeans_topk, pq_topk
+
+    rng = np.random.RandomState(12)
+    rows = [(1000 + i, rng.randn(16).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = pq_topk(df, dim=16, m_sub=4, k_codes=4, iters=2, k=3, n_queries=4)
+    got_q = {r["query_id"] for r in pq.collect()}
+    assert got_q == {1000, 1001, 1002, 1003}
+    ivf = ivf_kmeans_topk(df, dim=16, k_cells=4, iters=2, nprobe=2, k=3,
+                          n_queries=4)
+    assert {r["query_id"] for r in ivf.collect()} == {1000, 1001, 1002, 1003}
