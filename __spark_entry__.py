@@ -929,6 +929,87 @@ def _pq_sql(
     )
 
 
+def _ivf_pq_sql(
+    k_cells: int, m_sub: int, sub: int, k_codes: int, iters: int,
+    nprobe: int, topk: int, n_queries: int,
+) -> str:
+    """DuckDB mirror of similarity.ivf_pq_topk: the g_-prefixed chain
+    trains + assigns the coarse quantizer, s{m}_ chains the PQ
+    codebooks; probe prunes to nprobe cells per query and ADC ranks
+    only the pruned candidates."""
+    dim = m_sub * sub
+    ctes = _kmeans_ctes(k_cells, dim, iters, prefix="g_")
+    dist_g = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (qq.qv[i]-c.cvec[i])*(qq.qv[i]-c.cvec[i])))"
+    ).format(d=dim + 1)
+    ctes.append(
+        f"probe AS (SELECT query_id, gcid FROM ("
+        f"  SELECT qq.vec_id AS query_id, c.cid AS gcid, "
+        f"    row_number() OVER (PARTITION BY qq.vec_id "
+        f"      ORDER BY {dist_g} ASC, c.cid ASC) AS pr"
+        f"  FROM g_q qq, g_c{iters - 1} c WHERE qq.vec_id IN "
+        f"    (SELECT vec_id FROM g_q ORDER BY vec_id LIMIT {n_queries}))"
+        f" WHERE pr <= {nprobe})"
+    )
+    ctes.append(
+        f"cand AS (SELECT p.query_id, a.vec_id AS neighbor_id"
+        f"  FROM probe p JOIN g_a{iters} a ON a.cid = p.gcid)"
+    )
+    dist_s = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (qq.qv[i]-c.cvec[i])*(qq.qv[i]-c.cvec[i])))"
+    ).format(d=sub + 1)
+    pair_sqls = []
+    for m in range(m_sub):
+        p = f"s{m}_"
+        ctes += _kmeans_ctes(
+            k_codes, sub, iters, prefix=p,
+            vec_expr=f"list_slice(embedding, {m * sub + 1}, {(m + 1) * sub})",
+        )
+        ctes.append(
+            f"{p}dtab AS (SELECT qq.vec_id AS query_id, c.cid, {dist_s} AS dist"
+            f"  FROM {p}q qq, {p}c{iters - 1} c WHERE qq.vec_id IN "
+            f"    (SELECT vec_id FROM {p}q ORDER BY vec_id LIMIT {n_queries}))"
+        )
+        pair_sqls.append(
+            f"SELECT cd.query_id, cd.neighbor_id, d.dist"
+            f"  FROM cand cd"
+            f"  JOIN {p}a{iters} a ON a.vec_id = cd.neighbor_id"
+            f"  JOIN {p}dtab d ON d.query_id = cd.query_id AND d.cid = a.cid"
+        )
+    ctes.append(
+        "adc AS (SELECT query_id, neighbor_id, SUM(dist)::BIGINT AS dist "
+        "FROM (" + " UNION ALL ".join(pair_sqls) + ") GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, neighbor_id, dist, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC)"
+        "  AS rank FROM adc)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, neighbor_id, dist, rank::BIGINT AS rank "
+        f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@_q("ann_ivf_pq", _ivf_pq_sql(k_cells=8, m_sub=4, sub=16, k_codes=8,
+                              iters=2, nprobe=2, topk=5, n_queries=8))
+def ann_ivf_pq(spark, sf_dir):
+    """IVF + PQ composed (production FAISS layout, non-residual):
+    coarse k-means cells prune each query to nprobe cells; PQ/ADC
+    ranks only the pruned candidates. Coarse training/assignment,
+    per-subspace training/encoding, probe and ADC are ALL pinned by
+    one unrolled-CTE oracle statement."""
+    from spanmarkerner_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"), dim=64, k_cells=8, m_sub=4,
+        k_codes=8, iters=2, nprobe=2, k=5, n_queries=8,
+    )
+
+
 @_q("ann_pq_adc", _pq_sql(m_sub=4, sub=16, k_codes=8, iters=2, topk=5,
                           n_queries=8))
 def ann_pq_adc(spark, sf_dir):

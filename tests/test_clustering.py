@@ -149,3 +149,27 @@ def test_pq_and_ivf_queries_from_lowest_actual_ids(spark):
     ivf = ivf_kmeans_topk(df, dim=16, k_cells=4, iters=2, nprobe=2, k=3,
                           n_queries=4)
     assert {r["query_id"] for r in ivf.collect()} == {1000, 1001, 1002, 1003}
+
+
+def test_ivf_pq_subset_of_pq_ranking(spark):
+    """IVF+PQ returns, per query, the PQ-ADC ranking RESTRICTED to
+    the probed cells' candidates: every (query, neighbor, dist) it
+    emits must carry the same ADC distance pq_topk computes, and
+    neighbors it drops must be outside the probed cells."""
+    import numpy as np
+
+    from spanmarkerner_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k >= corpus size so `full` holds EVERY neighbor distance
+    kw = dict(dim=16, m_sub=4, k_codes=4, iters=2, k=60, n_queries=3)
+    full = {(r["query_id"], r["neighbor_id"]): r["dist"]
+            for r in pq_topk(df, **kw).collect()}
+    pruned = ivf_pq_topk(df, k_cells=4, nprobe=2, **kw).collect()
+    assert len(pruned) > 0
+    for r in pruned:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["dist"]
+    # pruning is real: fewer candidates than the full ADC ranking
+    assert len(pruned) < len(full)
