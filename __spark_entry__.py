@@ -2919,15 +2919,25 @@ _PRIORITY = [
     "kg_mentions", "kg_triples", "kg_triples_rich", "kg_triples_canonical",
     "kg_linked_cross", "spacy_doc_entities", "kg_mentions_context",
     "model_card_stats", "trainer_eval_metrics", "multimodal_features",
-    "ann_brute_topk", "ann_ivf_topk", "dedup_embedding",
+    "ann_brute_topk", "dedup_embedding",
+    # Round-5 rotation (r4 verdict ask #1): the four queries that had
+    # never received a driver CORRECTNESS row in any round, plus the
+    # two that fell out of the 50-row window in r4, go first so every
+    # registered query has a driver-proven green row in some round.
+    "kg_two_hop", "events_session_window", "ann_pq_adc",
+    "multimodal_frame_stats", "cc_components", "agg_cube",
+    "ann_ivf_pq",
 ]
 _TAIL = [
-    # agg_cube first: it is the cube-family's only remaining window
-    # candidate, so under a PARTIAL (time-based) cut it is the most
-    # valuable tail entry to still reach; kg_two_hop next (its join
-    # operator is already covered by the J-family rows in-window)
-    "agg_cube", "kg_two_hop", "events_session_window", "ann_pq_adc",
-    "multimodal_frame_stats",
+    # Round-5 demotions: redundant family twins, each with green
+    # driver rows in r1-r4, none the sole in-window row for a §2
+    # operator (ANN keeps brute/kmeans/pq/ivf_pq in-window; dedup
+    # keeps exact/minhash/ngram/embedding; streaming keeps
+    # events_session_window; events-join keeps asof_join_events;
+    # corpus-stats keeps tfidf/quantiles; text keeps
+    # quality/token_counts/pii).
+    "events_sessionize", "ann_ivf_topk", "dedup_simhash",
+    "text_lang_id", "text_repetition", "range_join_events",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",
