@@ -783,24 +783,35 @@ def agg_quantiles(spark, sf_dir):
 
 
 def _kmeans_ctes(
-    k: int, dim: int, iters: int, prefix: str = "", vec_expr: str = "embedding"
+    k: int, dim: int, iters: int, prefix: str = "", vec_expr: str = "embedding",
+    src: str = "embeddings WHERE embedding IS NOT NULL",
+    pre_quantized: bool = False,
 ) -> list[str]:
     """Shared CTE chain: quantize -> seed -> iters x (assign, update).
     {prefix}a{iters} is the final assignment, {prefix}c{iters-1} the
     final centroids. prefix/vec_expr let several independent chains
     coexist in one statement (the PQ oracle trains one codebook per
-    embedding subspace: vec_expr = a list_slice of the vector)."""
+    embedding subspace: vec_expr = a list_slice of the vector).
+    src/pre_quantized: train from a prior CTE that already holds
+    quantized BIGINT vectors (the residual-PQ oracle trains codebooks
+    on the residual CTE `r`, which must not be re-scaled)."""
     p = prefix
     dist = (
         "list_sum(list_transform(range(1, {d}), "
         "i -> (q.qv[i]-c.cvec[i])*(q.qv[i]-c.cvec[i])))"
     ).format(d=dim + 1)
-    ctes = [
+    if pre_quantized:
+        q_cte = f"{p}q AS (SELECT vec_id, {vec_expr} AS qv FROM {src})"
+    else:
         # NULL embeddings are dropped on BOTH sides (clustering.py
         # filters them before quantize)
-        f"{p}q AS (SELECT vec_id, list_transform({vec_expr}, x -> "
-        "CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qv "
-        "FROM embeddings WHERE embedding IS NOT NULL)",
+        q_cte = (
+            f"{p}q AS (SELECT vec_id, list_transform({vec_expr}, x -> "
+            "CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qv "
+            f"FROM {src})"
+        )
+    ctes = [
+        q_cte,
         # seed = k LOWEST ACTUAL ids (mirrors clustering.train's
         # orderBy(id).limit(k) — robust to id ranges not starting at 0)
         f"{p}c0 AS (SELECT vec_id AS cid, qv AS cvec FROM {p}q "
@@ -991,6 +1002,98 @@ def _ivf_pq_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT query_id, neighbor_id, dist, rank::BIGINT AS rank "
         f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+def _ivf_pq_residual_sql(
+    k_cells: int, m_sub: int, sub: int, k_codes: int, iters: int,
+    nprobe: int, topk: int, n_queries: int,
+) -> str:
+    """DuckDB mirror of similarity.ivf_pq_residual_topk (FAISS IVFPQ
+    residual encoding): the g_ chain trains the coarse quantizer; the
+    `r` CTE holds each vector's integer residual vs its cell centroid;
+    the s{m}_ chains train codebooks ON THE RESIDUALS (pre_quantized
+    src=r, no re-scaling); probe carries the query's per-cell residual
+    and the ADC table is keyed by (query, probed cell, code)."""
+    dim = m_sub * sub
+    ctes = _kmeans_ctes(k_cells, dim, iters, prefix="g_")
+    ctes.append(
+        f"r AS (SELECT a.vec_id, a.cid AS gcid, "
+        f"list_transform(range(1, {dim + 1}), i -> a.qv[i] - c.cvec[i]) AS rv "
+        f"FROM g_a{iters} a JOIN g_c{iters - 1} c ON c.cid = a.cid)"
+    )
+    dist_g = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (qq.qv[i]-c.cvec[i])*(qq.qv[i]-c.cvec[i])))"
+    ).format(d=dim + 1)
+    ctes.append(
+        f"probe AS (SELECT query_id, gcid, qr FROM ("
+        f"  SELECT qq.vec_id AS query_id, c.cid AS gcid, "
+        f"    list_transform(range(1, {dim + 1}), i -> qq.qv[i] - c.cvec[i])"
+        f"      AS qr, "
+        f"    row_number() OVER (PARTITION BY qq.vec_id "
+        f"      ORDER BY {dist_g} ASC, c.cid ASC) AS pr"
+        f"  FROM g_q qq, g_c{iters - 1} c WHERE qq.vec_id IN "
+        f"    (SELECT vec_id FROM g_q ORDER BY vec_id LIMIT {n_queries}))"
+        f" WHERE pr <= {nprobe})"
+    )
+    ctes.append(
+        "cand AS (SELECT p.query_id, p.gcid, r.vec_id AS neighbor_id"
+        "  FROM probe p JOIN r ON r.gcid = p.gcid)"
+    )
+    pair_sqls = []
+    for m in range(m_sub):
+        p = f"s{m}_"
+        lo, hi = m * sub + 1, (m + 1) * sub
+        ctes += _kmeans_ctes(
+            k_codes, sub, iters, prefix=p,
+            vec_expr=f"list_slice(rv, {lo}, {hi})",
+            src="r", pre_quantized=True,
+        )
+        ctes.append(
+            f"{p}dtab AS (SELECT query_id, gcid, cid, "
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> (qrs[i]-cvec[i])*(qrs[i]-cvec[i]))) AS dist FROM ("
+            f"  SELECT p.query_id, p.gcid, list_slice(p.qr, {lo}, {hi}) AS qrs,"
+            f"    c.cid, c.cvec FROM probe p, {p}c{iters - 1} c))"
+        )
+        pair_sqls.append(
+            f"SELECT cd.query_id, cd.neighbor_id, d.dist"
+            f"  FROM cand cd"
+            f"  JOIN {p}a{iters} a ON a.vec_id = cd.neighbor_id"
+            f"  JOIN {p}dtab d ON d.query_id = cd.query_id"
+            f"    AND d.gcid = cd.gcid AND d.cid = a.cid"
+        )
+    ctes.append(
+        "adc AS (SELECT query_id, neighbor_id, SUM(dist)::BIGINT AS dist "
+        "FROM (" + " UNION ALL ".join(pair_sqls) + ") GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, neighbor_id, dist, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC)"
+        "  AS rank FROM adc)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, neighbor_id, dist, rank::BIGINT AS rank "
+        f"FROM ranked WHERE rank <= {topk}"
+    )
+
+
+@_q("ann_ivf_pq_residual",
+    _ivf_pq_residual_sql(k_cells=8, m_sub=4, sub=16, k_codes=8,
+                         iters=2, nprobe=2, topk=5, n_queries=8))
+def ann_ivf_pq_residual(spark, sf_dir):
+    """IVF + PQ with residual encoding (the FAISS IndexIVFPQ default):
+    PQ codebooks trained on coarse-cell residuals, ADC keyed by
+    (query, probed cell, code). Exact-integer throughout, so coarse
+    training, residuals, residual codebooks, probe, and per-cell ADC
+    are ALL pinned by one unrolled-CTE oracle."""
+    from spanmarkerner_spark.operators.similarity import ivf_pq_residual_topk
+
+    return ivf_pq_residual_topk(
+        _t(spark, sf_dir, "embeddings"), dim=64, k_cells=8, m_sub=4,
+        k_codes=8, iters=2, nprobe=2, k=5, n_queries=8,
     )
 
 
@@ -2938,6 +3041,7 @@ _TAIL = [
     # quality/token_counts/pii).
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",
+    "pack_sequences_docs",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",

@@ -114,6 +114,7 @@ def train(
     vec_col: str = "embedding",
     scale: int = SCALE,
     materialize: bool = True,
+    pre_quantized: bool = False,
 ):
     """The Lloyd's loop shared by kmeans() and similarity.
     ivf_kmeans_topk (ONE implementation, so the two driver entries
@@ -126,15 +127,26 @@ def train(
     instead of re-embedding the whole previous chain — the standard
     iterative-algorithm lineage cut (components.py does the same);
     cost per iteration is one k-row materialization. Disable to get
-    one fully-lazy composed plan (used by plan-shape tests)."""
-    # NULL vectors can't be ranked consistently cross-engine (Spark
-    # sorts null distances first, DuckDB last) and have no cluster
-    # anyway — drop them up front (the oracle CTE filters them too)
-    qvecs = (
-        ensure_min_parallelism(vecs)
-        .filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), quantize(vec_col, scale).alias("qv"))
-    )
+    one fully-lazy composed plan (used by plan-shape tests).
+
+    pre_quantized: vec_col already holds array<long> integers (and
+    nulls are already dropped) — skip the quantize/filter/parallelism
+    prologue. Lets PQ/IVF+PQ share ONE cached quantized corpus scan
+    across their coarse + per-subspace training chains instead of
+    re-scanning and re-quantizing per chain (element-wise quantize
+    commutes with slicing, so values are bit-identical)."""
+    if pre_quantized:
+        qvecs = vecs.select(F.col(id_col), F.col(vec_col).alias("qv"))
+    else:
+        # NULL vectors can't be ranked consistently cross-engine
+        # (Spark sorts null distances first, DuckDB last) and have no
+        # cluster anyway — drop them up front (the oracle CTE filters
+        # them too)
+        qvecs = (
+            ensure_min_parallelism(vecs)
+            .filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), quantize(vec_col, scale).alias("qv"))
+        )
     # seed = the k LOWEST ACTUAL ids' vectors (TakeOrderedAndProject —
     # a driver-cheap global top-k, never a full sort). A plain
     # `id < k` filter silently seeds an EMPTY set on tables whose ids

@@ -99,7 +99,12 @@ def minhash_signature_from(sh_col, num_hashes: int = 16,
             )
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
-    init = F.array_repeat(F.lit(2 ** 62).cast("long"), num_hashes)
+    # Long.MAX_VALUE, not 2**62: xxhash64 is uniform over the full
+    # signed 64-bit range, so a 2**62 sentinel would clamp ~25% of
+    # hashes per position and leave short docs sharing saturated band
+    # keys (inflated LSH candidates; ADVICE r4). The portable 60-bit
+    # md5 path is unaffected (its hashes are always < 2**60).
+    init = F.array_repeat(F.lit(9223372036854775807).cast("long"), num_hashes)
     return F.aggregate(sh_col, init, step)
 
 

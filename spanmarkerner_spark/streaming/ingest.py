@@ -245,7 +245,11 @@ def _minhash_band_cols(
             )
             return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
-        init = F.array_repeat(F.lit(2 ** 62).cast("long"), num_hashes)
+        # Long.MAX_VALUE sentinel — keeps minima unbiased under the
+        # full-range signed xxhash64 (see operators/dedup.py).
+        init = F.array_repeat(
+            F.lit(9223372036854775807).cast("long"), num_hashes
+        )
         return F.aggregate(col, init, step)
 
     band_keys = F.transform(

@@ -173,3 +173,62 @@ def test_ivf_pq_subset_of_pq_ranking(spark):
         assert full[(r["query_id"], r["neighbor_id"])] == r["dist"]
     # pruning is real: fewer candidates than the full ADC ranking
     assert len(pruned) < len(full)
+
+
+def test_ivf_pq_residual_deterministic_across_parallelism(spark):
+    """Residual IVF+PQ is exact integer arithmetic end-to-end:
+    identical output at 2 and 8 input partitions."""
+    import numpy as np
+
+    from spanmarkerner_spark.operators.similarity import ivf_pq_residual_topk
+
+    rng = np.random.RandomState(17)
+    rows = [(i, rng.randn(16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=16, k_cells=4, m_sub=4, k_codes=4, iters=2, nprobe=2,
+              k=3, n_queries=4)
+    got2 = sorted(map(tuple, ivf_pq_residual_topk(df.repartition(2), **kw).collect()))
+    got8 = sorted(map(tuple, ivf_pq_residual_topk(df.repartition(8), **kw).collect()))
+    assert got2 == got8
+    assert {q for q, *_ in got2} == {0, 1, 2, 3}
+
+
+def test_ivf_pq_residual_zero_residuals(spark):
+    """When every vector in a cell equals its centroid (duplicated
+    vectors), residuals are exactly zero, the residual codebooks are
+    zero, and every ADC distance must be 0 — pins the residual
+    subtraction on both the corpus and the query path."""
+    import numpy as np
+
+    from spanmarkerner_spark.operators.similarity import ivf_pq_residual_topk
+
+    rng = np.random.RandomState(19)
+    protos = [rng.randn(16).tolist() for _ in range(4)]
+    rows = [(i, protos[i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_pq_residual_topk(
+        df, dim=16, k_cells=4, m_sub=4, k_codes=4, iters=2, nprobe=2,
+        k=5, n_queries=4,
+    ).collect()
+    assert len(out) > 0
+    assert all(r["dist"] == 0 for r in out)
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    """dim % m_sub != 0 must fail loudly (FAISS does the same) — a
+    silent floor-divide would drop trailing dims from every ADC
+    distance (ADVICE r4)."""
+    import pytest
+
+    from spanmarkerner_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 10)], "vec_id long, embedding array<double>"
+    )
+    for fn in (pq_topk, ivf_pq_topk, ivf_pq_residual_topk):
+        with pytest.raises(ValueError, match="not divisible"):
+            fn(df, dim=10, m_sub=4)
