@@ -261,6 +261,88 @@ def _minhash_band_cols(
     return sh_h, band_keys
 
 
+def _curated_kept(
+    batch_df: DataFrame,
+    benchmark: DataFrame,
+    quality_min: float,
+    near_dup_bands: int,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Within-batch curation -> the kept-doc frame both curated sink
+    modes write: (doc_id, split, text, content_hash [, sh_h,
+    band_keys])."""
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+    from spanmarkerner_spark.operators.curation import curate
+    from spanmarkerner_spark.operators.dedup import _norm_text
+
+    cur = curate(batch_df, benchmark, quality_min=quality_min)
+    kept = (
+        cur.filter(F.col("disposition") == "kept")
+        .join(batch_df, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            "text",
+            # the SAME normalization exact_duplicates hashes —
+            # imported, not re-spelled, so the cross-batch hash can
+            # never drift from the within-batch one
+            portable_hash64(_norm_text(F.col("text"))).alias("content_hash"),
+        )
+    )
+    if near_dup_bands:
+        sh_h, band_keys = _minhash_band_cols(
+            F.col("text"), num_hashes, near_dup_bands, shingle_n
+        )
+        kept = kept.withColumn("sh_h", sh_h).withColumn("band_keys", band_keys)
+    return kept
+
+
+def _drop_vs_prior(
+    kept: DataFrame,
+    prior: DataFrame,
+    near_dup_bands: int,
+    near_dup_threshold: float,
+) -> DataFrame:
+    """Cross-batch dedup of a curated micro-batch against the sink's
+    PRIOR rows (however the caller scoped 'prior' — epoch-excluded or
+    file-excluded): exact content-hash anti-join, plus, when the sink
+    carries the LSH side-index, a verified-Jaccard near-dup drop.
+    Shared by the epoch-partitioned and file-lineage curated sinks so
+    the two modes can never drift."""
+    seen = prior.select("content_hash").distinct()
+    kept = kept.join(seen, "content_hash", "left_anti")
+    if near_dup_bands:
+        # thin (batch_id, sink_id) candidates from the band-key
+        # equi-join — the shingle arrays never ride this exchange
+        # (same discipline as dedup.minhash_lsh_pairs); verify
+        # joins the arrays back for candidates only, reading just
+        # (doc_id, band_keys) then (doc_id, sh_h) off the sink
+        # (parquet column pruning)
+        sink_b = prior.select(
+            F.col("doc_id").alias("sink_id"),
+            F.explode("band_keys").alias("bk"),
+        )
+        batch_b = kept.select("doc_id", F.explode("band_keys").alias("bk"))
+        cand = batch_b.join(sink_b, "bk").select("doc_id", "sink_id").distinct()
+        verify = cand.join(kept.select("doc_id", "sh_h"), "doc_id").join(
+            prior.select(
+                F.col("doc_id").alias("sink_id"),
+                F.col("sh_h").alias("sink_sh"),
+            ),
+            "sink_id",
+        )
+        inter = F.size(F.array_intersect("sh_h", "sink_sh"))
+        union = F.size("sh_h") + F.size("sink_sh") - inter
+        near = (
+            verify.filter(inter / union >= F.lit(near_dup_threshold))
+            .select("doc_id")
+            .distinct()
+        )
+        kept = kept.join(near, "doc_id", "left_anti")
+    return kept
+
+
 def curate_micro_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -284,66 +366,17 @@ def curate_micro_batch(
     see. A sink must be written with one mode throughout (the two
     modes have different sink schemas). Near-dups WITHIN one batch
     remain the batch-level curate() policy's business."""
-    from spanmarkerner_spark.functions.hashing import portable_hash64
-    from spanmarkerner_spark.operators.curation import curate
-    from spanmarkerner_spark.operators.dedup import _norm_text
-
     sp = batch_df.sparkSession
-    cur = curate(batch_df, benchmark, quality_min=quality_min)
-    kept = (
-        cur.filter(F.col("disposition") == "kept")
-        .join(batch_df, "doc_id")
-        .select(
-            "doc_id",
-            "split",
-            "text",
-            # the SAME normalization exact_duplicates hashes —
-            # imported, not re-spelled, so the cross-batch hash can
-            # never drift from the within-batch one
-            portable_hash64(_norm_text(F.col("text"))).alias("content_hash"),
-        )
+    kept = _curated_kept(
+        batch_df, benchmark, quality_min, near_dup_bands, num_hashes, shingle_n
     )
-    if near_dup_bands:
-        sh_h, band_keys = _minhash_band_cols(
-            F.col("text"), num_hashes, near_dup_bands, shingle_n
-        )
-        kept = kept.withColumn("sh_h", sh_h).withColumn("band_keys", band_keys)
     from pyspark.errors import AnalysisException
 
     try:
         prior = sp.read.parquet(out_dir).filter(
             F.col("epoch_id") != int(epoch_id)
         )
-        seen = prior.select("content_hash").distinct()
-        kept = kept.join(seen, "content_hash", "left_anti")
-        if near_dup_bands:
-            # thin (batch_id, sink_id) candidates from the band-key
-            # equi-join — the shingle arrays never ride this exchange
-            # (same discipline as dedup.minhash_lsh_pairs); verify
-            # joins the arrays back for candidates only, reading just
-            # (doc_id, band_keys) then (doc_id, sh_h) off the sink
-            # (parquet column pruning)
-            sink_b = prior.select(
-                F.col("doc_id").alias("sink_id"),
-                F.explode("band_keys").alias("bk"),
-            )
-            batch_b = kept.select("doc_id", F.explode("band_keys").alias("bk"))
-            cand = batch_b.join(sink_b, "bk").select("doc_id", "sink_id").distinct()
-            verify = cand.join(kept.select("doc_id", "sh_h"), "doc_id").join(
-                prior.select(
-                    F.col("doc_id").alias("sink_id"),
-                    F.col("sh_h").alias("sink_sh"),
-                ),
-                "sink_id",
-            )
-            inter = F.size(F.array_intersect("sh_h", "sink_sh"))
-            union = F.size("sh_h") + F.size("sink_sh") - inter
-            near = (
-                verify.filter(inter / union >= F.lit(near_dup_threshold))
-                .select("doc_id")
-                .distinct()
-            )
-            kept = kept.join(near, "doc_id", "left_anti")
+        kept = _drop_vs_prior(kept, prior, near_dup_bands, near_dup_threshold)
     except AnalysisException as e:
         # ONLY a missing sink (first epoch) may skip the dedup; a
         # readable-but-wrong sink (schema drift, bad footers) must
@@ -377,6 +410,7 @@ def stream_curated_docs(
     max_files: int = 4,
     near_dup_bands: int = 0,
     near_dup_threshold: float = 0.7,
+    max_bytes: int | None = None,
 ):
     """Incrementally curate a growing corpus: per micro-batch, apply
     the composed curation pass (operators/curation.py) and drop any
@@ -415,15 +449,139 @@ def stream_curated_docs(
       prior epochs too — see curate_micro_batch; pick ONE mode per
       sink (the schemas differ).
     """
-    docs = (
-        spark.readStream.schema(DOCS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(docs_dir)
-    )
+    # Spark forbids setting both caps at once: max_bytes REPLACES the
+    # file cap — each trigger admits files until the byte budget is
+    # hit (always >= 1 file)
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_bytes is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes)
+    else:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    docs = reader.parquet(docs_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         curate_micro_batch(
             batch_df, int(epoch_id), out_dir, benchmark, quality_min,
+            near_dup_bands=near_dup_bands,
+            near_dup_threshold=near_dup_threshold,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def curate_micro_batch_by_file(
+    batch_keyed: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    benchmark: DataFrame,
+    quality_min: float,
+    near_dup_bands: int = 0,
+    near_dup_threshold: float = 0.7,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """File-lineage twin of curate_micro_batch (module-level for direct
+    retry testing). batch_keyed must carry (file_key, file_path) —
+    with_file_key over the streaming scan's _metadata.
+
+    Differences from the epoch-partitioned mode:
+    - resume unit is the input FILE: pending_files drops files any
+      earlier run already finished, so the stream survives a LOST
+      streaming checkpoint (epoch renumbering can no longer overwrite
+      prior accepted docs — the r4 verdict/ADVICE hardening ask);
+    - the sink ('curated' stage table) is partitioned by file_key with
+      dynamic overwrite — a retried batch overwrites exactly its own
+      files' partitions;
+    - 'prior' for cross-batch dedup = sink rows from files OUTSIDE
+      this batch (a retry must not anti-join against its own
+      half-written output — same rule as the epoch variant's
+      epoch_id != current filter);
+    - file lineage lands LAST (write_stage_by_file), so a crash in
+      between leaves the files pending and the retry idempotent.
+    """
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from spanmarkerner_spark.plans import lineage as L
+
+    sp = batch_keyed.sparkSession
+    pending = L.pending_files(batch_keyed, sp, out_dir, "curated")
+    files = [
+        (r["file_key"], r["file_path"])
+        for r in pending.select("file_key", "file_path").distinct().collect()
+    ]
+    if not files:
+        return
+    kept = _curated_kept(
+        pending.drop("file_key", "file_path"), benchmark, quality_min,
+        near_dup_bands, num_hashes, shingle_n,
+    )
+    # one file per doc (mirror of the triples stream's url_files rule):
+    # a doc_id split across two files in the same batch lands in
+    # exactly one file partition
+    doc_files = pending.groupBy("doc_id").agg(
+        F.min("file_key").alias("file_key")
+    )
+    kept = kept.join(doc_files, "doc_id")
+    try:
+        prior = sp.read.parquet(os.path.join(out_dir, "curated")).filter(
+            ~F.col("file_key").isin([fk for fk, _ in files])
+        )
+        kept = _drop_vs_prior(kept, prior, near_dup_bands, near_dup_threshold)
+    except AnalysisException as e:
+        # ONLY a missing sink (first batch) may skip the dedup (same
+        # rule as curate_micro_batch)
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
+    L.write_stage_by_file(
+        kept, out_dir, "curated", f"stream-epoch-{int(epoch_id)}", files
+    )
+
+
+def stream_curated_docs_lineage(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+    quality_min: float = 0.9,
+    max_files: int = 4,
+    near_dup_bands: int = 0,
+    near_dup_threshold: float = 0.7,
+    max_bytes: int | None = None,
+):
+    """Checkpoint-loss-hardened curated ingest: stream_curated_docs
+    semantics with the resume state in the shared file-grained lineage
+    table (plans/lineage.py), like stream_pages_to_triples_lineage.
+    Kill the stream, delete its checkpoint, restart: finished files
+    are skipped via lineage, half-written files are overwritten
+    idempotently, and prior accepted docs can never be clobbered by
+    epoch renumbering (the documented failure mode of the epoch-
+    partitioned sink). Sink layout: <out_dir>/curated partitioned by
+    file_key, lineage at <out_dir>/_file_lineage."""
+    # byte cap and file cap are mutually exclusive (see
+    # stream_curated_docs)
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_bytes is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes)
+    else:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    docs = reader.parquet(docs_dir).select(
+        "*", F.col("_metadata.file_path").alias("file_path")
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from spanmarkerner_spark.plans import lineage as L
+
+        keyed = L.with_file_key(batch_df, F.col("file_path"))
+        curate_micro_batch_by_file(
+            keyed, int(epoch_id), out_dir, benchmark, quality_min,
             near_dup_bands=near_dup_bands,
             near_dup_threshold=near_dup_threshold,
         )
