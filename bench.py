@@ -192,6 +192,13 @@ def main() -> None:
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
+        # HEADLINE THROUGHPUT UNIT (r4 verdict): sentences/sec. The
+        # datagen change in round 4 (probe/ambiguous pages, rich
+        # relation mix) changed triples-per-sentence, so triples/sec
+        # is NOT comparable across rounds; sentences/sec is.
+        "sentences_per_sec": (
+            round(n_sentences / kg_sec, 2) if kg_sec else None
+        ),
         "queries": times,
         "sf": sf,
         "extra": {

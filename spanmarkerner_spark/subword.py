@@ -42,6 +42,28 @@ def word_pieces(word: str) -> list[str]:
     return [word[i : i + PIECE_WIDTH] for i in range(0, len(word), PIECE_WIDTH)]
 
 
+# word -> piece-id list memo (r4 verdict ask #3: encode_words was ~25%
+# of scorer prep). Natural-language words are Zipf-distributed, so
+# after warmup almost every word is ONE dict hit instead of
+# ceil(len/4) md5 digests. Pure memoization of a pure function —
+# results are bit-identical, fixtures unaffected. Bounded: cleared
+# when it would exceed _WORD_IDS_MAX entries (long-lived executor
+# workers see unbounded url/number tokens).
+_WORD_IDS: dict[tuple[str, int], list[int]] = {}
+_WORD_IDS_MAX = 1 << 20
+
+
+def _word_ids(word: str, vocab_size: int) -> list[int]:
+    key = (word, vocab_size)
+    ids = _WORD_IDS.get(key)
+    if ids is None:
+        if len(_WORD_IDS) >= _WORD_IDS_MAX:
+            _WORD_IDS.clear()
+        ids = [piece_id(p, vocab_size) for p in word_pieces(word)]
+        _WORD_IDS[key] = ids
+    return ids
+
+
 def encode_words(
     words: list[str], vocab_size: int, model_max_length: int
 ) -> dict:
@@ -64,12 +86,11 @@ def encode_words(
     char_pos = 0
     num_words = 0
     for w in words:
-        pieces = word_pieces(w)
-        if len(input_ids) + len(pieces) > budget:
+        ids = _word_ids(w, vocab_size)
+        if len(input_ids) + len(ids) > budget:
             break  # truncate whole words, like HF truncation at word level
         word_tok_start.append(len(input_ids))
-        for p in pieces:
-            input_ids.append(piece_id(p, vocab_size))
+        input_ids.extend(ids)
         word_tok_end.append(len(input_ids) - 1)
         word_char_start.append(char_pos)
         word_char_end.append(char_pos + len(w))
