@@ -1402,6 +1402,53 @@ def _pagerank_sql(iters: int, scale: int = 10**12, damping_pct: int = 85) -> str
     )
 
 
+def _label_prop_sql(iters: int) -> str:
+    """DuckDB mirror of operators/graph.label_propagation over the
+    supplier co-occurrence graph: per round, a (node, label) count and
+    a deterministic (count DESC, label ASC) argmax, unrolled as CTE
+    pairs — a full value oracle for the iterative community
+    detection."""
+    ctes = [
+        "e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst"
+        "      FROM lineitem a JOIN lineitem b USING (l_orderkey)"
+        "      WHERE a.l_suppkey <> b.l_suppkey)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"n{t} AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c"
+            f"   FROM e JOIN l{t - 1} l ON l.node = e.src"
+            f"   GROUP BY e.dst, l.lab)"
+        )
+        ctes.append(
+            f"l{t} AS (SELECT node, lab FROM ("
+            f"  SELECT node, lab, row_number() OVER ("
+            f"    PARTITION BY node ORDER BY c DESC, lab ASC) AS rn"
+            f"  FROM n{t}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, lab AS label FROM l{iters}"
+    )
+
+
+@_q("graph_label_prop", _label_prop_sql(iters=3))
+def graph_label_prop(spark, sf_dir):
+    """Label-propagation community detection (3 synchronous rounds,
+    total deterministic tie-break) over the supplier co-occurrence
+    graph — the community/site-cluster signal of web curation (group
+    pages by link community before per-community quality caps).
+    Iterations value-pinned by the unrolled CTE oracle."""
+    from spanmarkerner_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    return label_propagation(edges, iters=3)
+
+
 @_q("graph_pagerank", _pagerank_sql(iters=3))
 def graph_pagerank(spark, sf_dir):
     """Integer-quantized PageRank (3 rounds, d=0.85) over the supplier
@@ -1881,6 +1928,42 @@ def dedup_minhash(spark, sf_dir):
         jaccard_threshold=0.5,
         max_bucket=50,
     )
+
+
+@_q(
+    "dedup_substring",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLE_TOKENS_SQL} AS t FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(t, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS h
+      FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ), counts AS (
+      SELECT h, COUNT(*) AS c FROM wins GROUP BY h
+    ), per AS (
+      SELECT w.doc_id,
+             COUNT(*)::BIGINT AS n_windows,
+             SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeated
+      FROM wins w JOIN counts c USING (h)
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_windows, n_repeated,
+           round(n_repeated * 1.0 / n_windows, 6) AS repeated_ratio
+    FROM per
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Repeated-substring (ExactSubstr-grain) detection: per-doc count
+    and ratio of 8-word window positions whose content occurs anywhere
+    else in the corpus — Lee et al. 2022's training-data dedup signal
+    at fixed window grain. Thin (id, hash) shuffle; see
+    operators/dedup.py repeated_window_stats for the 100 TB design."""
+    from spanmarkerner_spark.operators.dedup import repeated_window_stats
+
+    return repeated_window_stats(_t(spark, sf_dir, "documents"), k=8)
 
 
 @_q(
@@ -3030,6 +3113,9 @@ _PRIORITY = [
     "kg_two_hop", "events_session_window", "ann_pq_adc",
     "multimodal_frame_stats", "cc_components", "agg_cube",
     "ann_ivf_pq",
+    # round-5 NEW operators (no prior driver row anywhere): must be
+    # in-window this round
+    "dedup_substring", "graph_label_prop",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -3041,7 +3127,7 @@ _TAIL = [
     # quality/token_counts/pii).
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",
-    "pack_sequences_docs",
+    "pack_sequences_docs", "graph_pagerank", "dedup_ngram_jaccard",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",

@@ -369,3 +369,63 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def repeated_window_stats(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-substring detection, the ExactSubstr signal of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") at fixed window grain: every k-word window (stride 1)
+    of every document is hashed; a window position is REPEATED if its
+    content occurs anywhere else in the corpus (another doc, or the
+    same doc twice). Output per document:
+      (doc_id, n_windows, n_repeated, repeated_ratio)
+    — the per-doc fraction of memorization-prone span positions, the
+    signal trainers use to drop or slice boilerplate-heavy pages.
+    Documents with fewer than k words have no windows and are absent.
+
+    Scale design (100 TB): window rows are THIN (id, 8-byte hash);
+    the corpus-wide occurrence count is one keyed groupBy with
+    map-side partial aggregation, and the count-back join re-keys the
+    same exchange. Hot windows (site boilerplate) skew the count key:
+    AQE skew-join splits them, and their counts collapse map-side
+    (millions of equal hashes -> one partial row per partition).
+    At petabyte scale, run with stride k/2 and a count-min prefilter
+    to cut candidate volume ~k/2x at bounded recall loss — the
+    stride-1 grain here is the exact published semantic, which is
+    what the DuckDB value oracle pins.
+    """
+    docs = ensure_min_parallelism(docs)
+    base = docs.select(
+        F.col(id_col),
+        F.transform(
+            # shingle_tokens with n=k IS the k-word stride-1 window
+            # sequence (positions kept, no distinct)
+            shingle_tokens(F.col(text_col), k),
+            lambda s: portable_hash64(s),
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    ex = base.select(F.col(id_col), F.explode("hs").alias("h"))
+    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        ex.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeated"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_repeated",
+            F.round(F.col("n_repeated") / F.col("n_windows"), 6).alias(
+                "repeated_ratio"
+            ),
+        )
+    )

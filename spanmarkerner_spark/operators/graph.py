@@ -87,3 +87,46 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007) with a TOTAL deterministic update rule:
+    every node starts labeled with itself; each round, node v adopts
+    the most frequent label among its in-neighbors, ties broken by
+    smallest label — so a fixed `iters` unrolls to the same result in
+    any engine (the DuckDB oracle mirrors the rounds as CTE pairs).
+    Assumes a symmetric, self-loop-free edge set (cooccurrence_edges).
+
+    Returns (node, label) after `iters` rounds.
+
+    Scale design: each round is (a) one join of the thin (node, label)
+    table to edges on src — at 10^10 edges, persist edges partitioned
+    by src once and only the label table moves; (b) one keyed count
+    groupBy (dst, label) with map-side partial aggregation — message
+    volume ∝ edges (LPA's nature), bytes per message 16; (c) one
+    per-node argmax window on the counted (dst, label) pairs, whose
+    input is already collapsed to <= distinct-neighbor-labels rows
+    per node. Hot nodes (celebrity pages) skew (b)/(c): AQE skew
+    handling splits them, or cap/salt upstream like operators/skew.py.
+    Like components.py, checkpoint every few rounds on real clusters.
+    """
+    from pyspark.sql import Window
+
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(iters):
+        nb = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -52,3 +52,22 @@ def test_pagerank_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, pagerank(df.repartition(2), iters=3).collect()))
     b = sorted(map(tuple, pagerank(df.repartition(16), iters=3).collect()))
     assert a == b
+
+
+def test_label_propagation_two_communities(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 rounds every
+    clique member carries its clique's minimum node id; determinism
+    across input parallelism."""
+    from spanmarkerner_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    bridge = [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, iters=3).collect()}
+    assert all(got[n] == 1 for n in range(1, 5))
+    assert all(got[n] == 10 for n in range(11, 14))
+    got8 = {r["node"]: r["label"]
+            for r in label_propagation(edges.repartition(8), iters=3).collect()}
+    assert got8 == got

@@ -1093,3 +1093,34 @@ def test_stream_max_bytes_per_trigger_bounds_batches(spark, tmp_path):
     assert len({r["run_id"] for r in lin}) == 4
     got = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/curated").collect()}
     assert got == {i * 10 + j for i in range(4) for j in range(10)}
+
+
+def test_repeated_window_stats(spark):
+    """ExactSubstr-grain repetition: a shared 8-word span between two
+    docs marks exactly its window positions repeated in both; a doc
+    repeating its own phrase twice is self-repeated; a unique doc has
+    n_repeated=0; docs under k words are absent."""
+    from spanmarkerner_spark.operators.dedup import repeated_window_stats
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"{shared} alpha beta gamma delta"),
+        (2, f"prefix words here {shared}"),
+        (3, f"{shared} middle filler tokens {shared}"),
+        (4, "totally unique text with nine different words here ok"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repeated_window_stats(df, k=8).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1: 12 words -> 5 windows; window 0 is `shared`, present in
+    # docs 2 and 3 -> repeated
+    assert got[1]["n_windows"] == 5 and got[1]["n_repeated"] >= 1
+    assert got[2]["n_repeated"] >= 1
+    # doc 3 contains `shared` twice -> both positions repeated even
+    # without the other docs
+    only3 = {r["doc_id"]: r for r in repeated_window_stats(
+        df.filter("doc_id = 3"), k=8).collect()}
+    assert only3[3]["n_repeated"] >= 2
+    assert got[4]["n_repeated"] == 0 and got[4]["repeated_ratio"] == 0.0
+    assert abs(got[1]["repeated_ratio"] - got[1]["n_repeated"] / 5) < 1e-9
