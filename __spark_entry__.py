@@ -2279,6 +2279,54 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+def _semantic_dedup_sql(
+    k_cells: int, dim: int, iters: int, threshold: float, max_cell: int
+) -> str:
+    """DuckDB mirror of operators/dedup.semantic_dedup_pairs: the
+    shared unrolled k-means chain, a cell-size cap window, and the
+    within-cell pair join with the exact quantized cosine."""
+    cos = (
+        "round(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> p[1] * p[2])) AS DOUBLE) / "
+        "(sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE)) * "
+        "sqrt(CAST(list_sum(list_transform({b}, x -> x * x)) AS DOUBLE))), 6)"
+    )
+    ctes = _kmeans_ctes(k_cells, dim, iters)
+    ctes.append(
+        f"sized AS (SELECT vec_id, qv, cid FROM ("
+        f"  SELECT vec_id, qv, cid, COUNT(*) OVER (PARTITION BY cid) AS csz"
+        f"  FROM a{iters}) WHERE csz <= {max_cell})"
+    )
+    ctes.append(
+        "prs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,"
+        "  x.qv AS va, y.qv AS vb"
+        "  FROM sized x JOIN sized y"
+        "  ON x.cid = y.cid AND x.vec_id < y.vec_id)"
+    )
+    c = cos.format(a="va", b="vb")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id_a, id_b, {c} AS cosine FROM prs WHERE {c} >= {threshold}"
+    )
+
+
+@_q("dedup_semantic",
+    _semantic_dedup_sql(k_cells=16, dim=64, iters=2, threshold=0.3,
+                        max_cell=200))
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding near-dup pairs via
+    learned k-means cells + exact within-cell cosine — the semantic
+    twin of the sign-bucket LSH entry (dedup_embedding), catching
+    near-dups that straddle a sign boundary. Training, assignment,
+    cell cap and verify all pinned by one unrolled-CTE oracle."""
+    from spanmarkerner_spark.operators.dedup import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, k_cells=16, iters=2,
+        threshold=0.3, max_cell=200,
+    )
+
+
 # ---- model card (A3+A4+O3 composed; model_card.py:262-334) ------------
 
 @_q(
@@ -3105,7 +3153,7 @@ _PRIORITY = [
     "kg_mentions", "kg_triples", "kg_triples_rich", "kg_triples_canonical",
     "kg_linked_cross", "spacy_doc_entities", "kg_mentions_context",
     "model_card_stats", "trainer_eval_metrics", "multimodal_features",
-    "ann_brute_topk", "dedup_embedding",
+    "ann_brute_topk",
     # Round-5 rotation (r4 verdict ask #1): the four queries that had
     # never received a driver CORRECTNESS row in any round, plus the
     # two that fell out of the 50-row window in r4, go first so every
@@ -3115,7 +3163,7 @@ _PRIORITY = [
     "ann_ivf_pq",
     # round-5 NEW operators (no prior driver row anywhere): must be
     # in-window this round
-    "dedup_substring", "graph_label_prop",
+    "dedup_substring", "graph_label_prop", "dedup_semantic",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -3128,6 +3176,7 @@ _TAIL = [
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",
     "pack_sequences_docs", "graph_pagerank", "dedup_ngram_jaccard",
+    "dedup_embedding",
     "j1_anti_residue", "text_token_counts_bpe", "dedup_simhash_pairs",
     "agg_rollup", "agg_pivot", "agg_grouping_sets",
     "events_windowed", "sample_stratified", "ann_ivf_multiprobe",
@@ -3139,7 +3188,14 @@ _TAIL = [
 def _ordered_names() -> list[str]:
     mid = [k for k in _QUERIES if k not in _PRIORITY and k not in _TAIL]
     names = [*_PRIORITY, *mid, *_TAIL]
-    return [n for n in names if n in _QUERIES]
+    out, seen = [], set()
+    for n in names:
+        # dedupe defensively: a name in both _PRIORITY and _TAIL must
+        # not register twice (caught by test_registration_order)
+        if n in _QUERIES and n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -429,3 +429,56 @@ def repeated_window_stats(
             ),
         )
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    dim: int,
+    k_cells: int = 16,
+    iters: int = 2,
+    threshold: float = 0.9,
+    max_cell: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means clusters
+    the embedding space, then exact cosine is verified only WITHIN a
+    cluster — near-dup pairs (id_a < id_b, cosine >= threshold) that
+    LSH misses when near-dups straddle a sign boundary
+    (embedding_near_dup_pairs) fall out naturally here, because the
+    learned cells follow the data.
+
+    Uses the SAME integer Lloyd's as cluster_kmeans / the ANN family
+    (clustering.train) and the same quantized cosine, so the whole
+    chain — training, assignment, cell cap, pair verify — carries one
+    unrolled-CTE DuckDB value oracle.
+
+    Scale (10^10 vectors): candidate generation is the zero-shuffle
+    broadcast-argmin assignment; the pair join is quadratic only
+    within a cell, and hot cells are capped (max_cell — the same cut
+    as the minhash/simhash hot-bucket caps; an over-full cell means
+    the quantizer is too coarse there, re-run with larger k_cells).
+    """
+    from spanmarkerner_spark.operators.clustering import train
+    from spanmarkerner_spark.operators.similarity import _int_cosine
+
+    _, _, assigned = train(
+        emb, dim, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    sized = assigned.withColumn(
+        "_csz", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    ).filter(F.col("_csz") <= max_cell)
+    a = sized.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col("qv").alias("va")
+    )
+    b = sized.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col("qv").alias("vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _int_cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -128,3 +128,26 @@ def test_every_query_is_value_oracled():
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_registration_order_no_dupes_and_rotation_coverage():
+    """The driver checks the FIRST 50 registered queries. Pins:
+    (a) no name appears twice in the ordering; (b) every query with
+    no green driver row in any prior round's CORRECTNESS file sits
+    inside the 50-row window (the r4 verdict rotation rule)."""
+    import glob
+    import json
+    import os
+
+    names = entrymod._ordered_names()
+    assert len(names) == len(set(names))
+    assert sorted(names) == sorted(entrymod.queries())
+    seen = set()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        with open(f) as fh:
+            for k, v in json.load(fh).items():
+                if v.get("hash_match") and not v.get("err"):
+                    seen.add(k)
+    never = [n for n in names[50:] if n not in seen]
+    assert never == [], f"never-driver-green queries outside window: {never}"

@@ -1124,3 +1124,38 @@ def test_repeated_window_stats(spark):
     assert only3[3]["n_repeated"] >= 2
     assert got[4]["n_repeated"] == 0 and got[4]["repeated_ratio"] == 0.0
     assert abs(got[1]["repeated_ratio"] - got[1]["n_repeated"] / 5) < 1e-9
+
+
+def test_semantic_dedup_catches_sign_boundary_pairs(spark):
+    """SemDeDup's advantage over the sign-bucket LSH: a near-identical
+    pair whose first dimension straddles 0 lands in different sign
+    buckets (embedding_near_dup_pairs misses it) but in the same
+    learned k-means cell (semantic_dedup_pairs verifies it)."""
+    import numpy as np
+
+    from spanmarkerner_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(30, 16).astype(float)
+    v = base[0].copy(); v[0] = 0.005
+    w = v.copy(); w[0] = -0.005          # near-dup, sign of dim 0 flips
+    rows = [(100, v.tolist()), (101, w.tolist())] + [
+        (i, (base[i] * 3).tolist()) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    sem = {(r["id_a"], r["id_b"])
+           for r in semantic_dedup_pairs(
+               df, dim=16, k_cells=4, iters=2, threshold=0.95).collect()}
+    assert (100, 101) not in lsh      # split by the sign bucket
+    assert (100, 101) in sem          # same learned cell, verified
+    # determinism across parallelism (integer chain end-to-end)
+    sem8 = {(r["id_a"], r["id_b"])
+            for r in semantic_dedup_pairs(
+                df.repartition(8), dim=16, k_cells=4, iters=2,
+                threshold=0.95).collect()}
+    assert sem8 == sem
