@@ -684,3 +684,40 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", "rank")
     )
+
+
+def append_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    epoch_id: int,
+    bucket_dims: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: append a batch of new
+    vectors into the bucket-partitioned index (write_ivf_index
+    layout), nested under an epoch partition — the index directory
+    becomes bucket=<b>/epoch_id=<e>/... and a RETRIED epoch
+    dynamically overwrites exactly its own epoch partitions inside
+    each bucket (the same exactly-once recipe as the streaming
+    sinks). Readers are unchanged: ivf_topk_from_index's bucket
+    filter still prunes whole bucket directories; the extra epoch
+    column rides along and is dropped by column pruning."""
+    spark = new_vecs.sparkSession
+    out = new_vecs.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+        F.lit(int(epoch_id)).alias("epoch_id"),
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(
+            "bucket", "epoch_id"
+        ).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

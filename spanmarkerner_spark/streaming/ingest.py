@@ -592,3 +592,45 @@ def stream_curated_docs_lineage(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_vectors_to_ivf_index(
+    spark: SparkSession,
+    vecs_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    dim: int,
+    bucket_dims: int = 4,
+    max_files: int = 4,
+):
+    """Streaming ANN index maintenance: embeddings arriving as
+    parquet files are appended incrementally into the
+    bucket-partitioned IVF index (similarity.append_ivf_index), one
+    epoch partition per micro-batch nested inside each bucket
+    directory — exactly-once under foreachBatch retries via dynamic
+    overwrite of the epoch partitions, and queries
+    (ivf_topk_from_index) see new vectors as soon as their batch
+    commits, with bucket-level partition pruning intact.
+
+    At 100 TB this is the standard freshness layout: the bulk index
+    is one big epoch, the stream adds small epochs, and
+    plans/compaction.compact_epochs folds cold epochs back into few
+    files per bucket."""
+    schema = "vec_id long, embedding array<double>"
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from spanmarkerner_spark.operators.similarity import append_ivf_index
+
+        append_ivf_index(
+            batch_df, index_path, int(epoch_id), bucket_dims=bucket_dims
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(vecs_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

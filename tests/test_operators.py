@@ -1159,3 +1159,60 @@ def test_semantic_dedup_catches_sign_boundary_pairs(spark):
                 df.repartition(8), dim=16, k_cells=4, iters=2,
                 threshold=0.95).collect()}
     assert sem8 == sem
+
+
+def test_stream_vectors_to_ivf_index_incremental_and_exactly_once(spark, tmp_path):
+    """Streaming ANN index maintenance: two vector files streamed into
+    the bucket-partitioned IVF index (one epoch each); queries via
+    ivf_topk_from_index see vectors from BOTH epochs with bucket
+    pruning intact; a direct retry of an epoch's append (foreachBatch
+    at-least-once) does not duplicate rows."""
+    import os
+
+    import numpy as np
+
+    from spanmarkerner_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_from_index,
+    )
+    from spanmarkerner_spark.streaming.ingest import stream_vectors_to_ivf_index
+
+    rng = np.random.RandomState(29)
+    vecs = [(i, rng.randn(16).tolist()) for i in range(40)]
+    src = str(tmp_path / "vecs")
+    os.makedirs(src)
+    for lo in (0, 20):
+        spark.createDataFrame(
+            vecs[lo : lo + 20], "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+    idx = str(tmp_path / "ivf")
+    q = stream_vectors_to_ivf_index(
+        spark, src, idx, str(tmp_path / "ckpt"), dim=16, max_files=1
+    )
+    q.awaitTermination(300)
+    stored = spark.read.parquet(idx)
+    assert stored.count() == 40
+    assert {r["epoch_id"] for r in stored.select("epoch_id").distinct().collect()} == {0, 1}
+    # bucket layout on disk (partition pruning substrate)
+    assert any(d.startswith("bucket=") for d in os.listdir(idx))
+
+    # queries see vectors from both epochs
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in vecs if i in (0, 25)],
+        "vec_id long, embedding array<double>",
+    ).withColumnRenamed("vec_id", "query_id")
+    got = ivf_topk_from_index(spark, idx, queries, k=3, vec_col="embedding")
+    rows = got.collect()
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], []).append(r)
+    # self is always in its own bucket -> rank 1 with cosine 1.0
+    assert byq[0][0]["neighbor_id"] == 0 and byq[0][0]["cosine"] == 1.0
+    assert byq[25][0]["neighbor_id"] == 25
+
+    # retried epoch append overwrites its own partitions: no dupes
+    batch1 = spark.createDataFrame(
+        vecs[20:40], "vec_id long, embedding array<double>"
+    )
+    append_ivf_index(batch1, idx, epoch_id=1)
+    assert spark.read.parquet(idx).count() == 40
