@@ -232,3 +232,55 @@ def test_pq_rejects_indivisible_subspaces(spark):
     for fn in (pq_topk, ivf_pq_topk, ivf_pq_residual_topk):
         with pytest.raises(ValueError, match="not divisible"):
             fn(df, dim=10, m_sub=4)
+
+
+def test_ann_recall_residual_beats_raw_pq(spark):
+    """Recall@5 vs brute force on clustered data (8 gaussian clusters,
+    fixed seed -> fully deterministic values): exact-in-cell IVF is
+    lossless on this layout; residual PQ recovers a large recall
+    margin over raw PQ at the SAME code budget (the reason FAISS
+    IndexIVFPQ encodes residuals). Measured at seed 31:
+    ivf_kmeans 1.0, pq 0.275, ivf_pq 0.275, ivf_pq_residual 0.575."""
+    import numpy as np
+
+    from spanmarkerner_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_kmeans_topk,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(31)
+    cents = rng.randn(8, 16) * 3
+    vecs = [
+        (i, (cents[i % 8] + rng.randn(16) * 0.5).tolist()) for i in range(200)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in vecs[:8]], "vec_id long, embedding array<double>"
+    ).withColumnRenamed("vec_id", "query_id")
+    truth = {}
+    for r in brute_force_topk(df, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    kw = dict(dim=16, k=5, n_queries=8)
+    r_ivf = recall(ivf_kmeans_topk(df, k_cells=8, iters=3, nprobe=2, **kw))
+    r_pq = recall(pq_topk(df, m_sub=4, k_codes=8, iters=2, **kw))
+    r_ivfpq = recall(
+        ivf_pq_topk(df, k_cells=8, m_sub=4, k_codes=8, iters=2, nprobe=2, **kw)
+    )
+    r_res = recall(ivf_pq_residual_topk(
+        df, k_cells=8, m_sub=4, k_codes=8, iters=2, nprobe=2, **kw
+    ))
+    assert r_ivf >= 0.99
+    assert r_pq >= 0.2 and r_ivfpq >= 0.2
+    assert r_res >= r_ivfpq + 0.2, (r_res, r_ivfpq)
