@@ -66,3 +66,34 @@ def two_hop(spark: SparkSession, table_prefix: str) -> DataFrame:
         F.col("b.pred").alias("pred2"),
         F.col("b.obj").alias("dst"),
     )
+
+
+def k_hop(spark: SparkSession, table_prefix: str, k: int) -> DataFrame:
+    """Length-k paths (n0, p1, n1, ..., pk, nk) over the doubly-
+    bucketed store. Join discipline at every hop: the EDGE TABLE side
+    reads a bucketed layout pre-hashed on its join endpoint and is
+    never shuffled; only the FRONTIER (the accumulated path frame)
+    re-partitions between hops. Hop 2 is fully exchange-free (the
+    `_by_obj` scan is already hashed on n1 — the two_hop case); each
+    further hop shuffles just the frontier on its tail node, so a
+    k-hop over 10^12 edges moves O(paths) bytes, never O(edges) —
+    pinned by test_graph_store_k_hop_edge_side_never_shuffled.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = spark.table(f"{table_prefix}_by_obj").select(
+        F.col("subj").alias("n0"), F.col("pred").alias("p1"),
+        F.col("obj").alias("n1"),
+    )
+    for i in range(2, k + 1):
+        nxt = (
+            spark.table(f"{table_prefix}_by_subj")
+            .hint("merge")
+            .select(
+                F.col("subj").alias("_j"),
+                F.col("pred").alias(f"p{i}"),
+                F.col("obj").alias(f"n{i}"),
+            )
+        )
+        cur = cur.join(nxt, F.col(f"n{i - 1}") == F.col("_j")).drop("_j")
+    return cur

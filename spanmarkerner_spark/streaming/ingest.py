@@ -634,3 +634,66 @@ def stream_vectors_to_ivf_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def backfill_near_dup_index(
+    docs: DataFrame,
+    out_dir: str,
+    epoch_id: int = -1,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    splits: dict[str, int] | None = None,
+) -> None:
+    """Bulk-adopt an EXISTING accepted corpus into the near-dup
+    curated sink: write every doc as one epoch (default epoch_id=-1 —
+    stream epochs are >= 0, so no future micro-batch can dynamically
+    overwrite the backfill partition) with the LSH side-index columns,
+    so stream_curated_docs(near_dup_bands>0) starts dropping
+    near-dups against the corpus WITHOUT replaying it through
+    micro-batches.
+
+    Unlike the per-batch path, the hashed-shingle column sh_h is
+    MATERIALIZED (localCheckpoint) before the band-key derivation:
+    Catalyst project-collapsing re-inlines the shingle transform into
+    each band lambda (~bands+1 evaluations per row — the documented
+    _minhash_band_cols caveat), which is negligible per micro-batch
+    but not for a corpus-sized backfill. On a real cluster swap
+    localCheckpoint for a durable checkpoint dir or an intermediate
+    table write; the column contract is identical."""
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+    from spanmarkerner_spark.operators.curation import DEFAULT_SPLITS
+    from spanmarkerner_spark.operators.dedup import _norm_text
+    from spanmarkerner_spark.operators.sampling import hash_split
+
+    sh_h, band_keys = _minhash_band_cols(
+        F.col("text"), num_hashes, bands, shingle_n
+    )
+    base = hash_split(
+        docs, "doc_id", splits or DEFAULT_SPLITS
+    ).select(
+        "doc_id",
+        "split",
+        "text",
+        portable_hash64(_norm_text(F.col("text"))).alias("content_hash"),
+        sh_h.alias("sh_h"),
+    ).localCheckpoint(eager=True)
+    # band_keys references the (now materialized) sh_h COLUMN — the
+    # shingle transform cannot be re-inlined across the checkpoint
+    kept = base.withColumn("band_keys", band_keys)
+    sp = docs.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = sp.conf.get(key, None)
+    sp.conf.set(key, "dynamic")
+    try:
+        (
+            kept.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+    finally:
+        if prev is None:
+            sp.conf.unset(key)
+        else:
+            sp.conf.set(key, prev)
