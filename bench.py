@@ -183,6 +183,7 @@ def main() -> None:
     # total counts each LOGICAL query once: the *_md5 / *_exact keys
     # are the oracle-pinned second timing of the same query and would
     # double-count it (and break comparability with round 1-2 totals)
+    sent_per_sec = round(n_sentences / kg_sec, 2) if kg_sec else None
     total = round(
         sum(v for k, v in times.items()
             if not k.endswith("_md5") and not k.endswith("_exact")),
@@ -196,9 +197,7 @@ def main() -> None:
         # datagen change in round 4 (probe/ambiguous pages, rich
         # relation mix) changed triples-per-sentence, so triples/sec
         # is NOT comparable across rounds; sentences/sec is.
-        "sentences_per_sec": (
-            round(n_sentences / kg_sec, 2) if kg_sec else None
-        ),
+        "sentences_per_sec": sent_per_sec,
         "queries": times,
         "sf": sf,
         "extra": {
@@ -209,7 +208,7 @@ def main() -> None:
             "kg_triples": n_triples,
             "kg_sec": kg_sec,
             "triples_per_sec": round(n_triples / kg_sec, 2) if kg_sec else None,
-            "sentences_per_sec": round(n_sentences / kg_sec, 2) if kg_sec else None,
+            "sentences_per_sec": sent_per_sec,
             "pages_per_sec": round(n_pages / kg_sec, 2) if kg_sec else None,
         },
     }

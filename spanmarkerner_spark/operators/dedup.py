@@ -410,9 +410,15 @@ def repeated_window_stats(
         ).alias("hs"),
     ).filter(F.size("hs") > 0)
     ex = base.select(F.col(id_col), F.explode("hs").alias("h"))
-    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    # corpus-wide occurrence count via a window over the ONE exchange
+    # on h — a groupBy+join-back would build two independent subplans
+    # from `ex` and re-run the tokenize + per-window md5 work (the
+    # dominant cost) twice per run (round-5 review)
+    counted = ex.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     return (
-        ex.join(counts, "h")
+        counted
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

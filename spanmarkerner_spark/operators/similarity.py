@@ -192,14 +192,21 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Materialize the IVF index: corpus written PARTITIONED BY bucket
-    (the sign quantizer), so queries read only their probe buckets'
-    directories — on a 100 TB corpus an equality/IN filter on `bucket`
-    becomes partition pruning at the source instead of a scan."""
+    """Materialize the IVF index: corpus written PARTITIONED BY
+    (bucket, epoch_id) — bucket is the sign quantizer, so queries read
+    only their probe buckets' directories (an equality/IN filter on
+    `bucket` becomes partition pruning at the source instead of a
+    scan); the epoch level (the bulk build is epoch 0) makes the
+    layout IDENTICAL to append_ivf_index's incremental writes, so a
+    bulk-built index can be appended to later — mixing a flat bucket
+    layout with nested epoch dirs would make the whole table
+    unreadable ('Conflicting directory structures'; round-5 review).
+    """
     corpus.select(
         F.col(id_col), F.col(vec_col),
         sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
-    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+        F.lit(0).alias("epoch_id"),
+    ).write.mode("overwrite").partitionBy("bucket", "epoch_id").parquet(path)
 
 
 def ivf_topk_from_index(

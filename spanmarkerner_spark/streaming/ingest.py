@@ -378,10 +378,16 @@ def curate_micro_batch(
         )
         kept = _drop_vs_prior(kept, prior, near_dup_bands, near_dup_threshold)
     except AnalysisException as e:
-        # ONLY a missing sink (first epoch) may skip the dedup; a
-        # readable-but-wrong sink (schema drift, bad footers) must
-        # kill the batch, not silently ingest duplicates
-        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+        # ONLY an empty sink may skip the dedup: missing dir (first
+        # epoch) or a dir with no parquet footers (a first batch that
+        # KEPT ZERO docs writes only _SUCCESS; the next batch's read
+        # then raises UNABLE_TO_INFER_SCHEMA — without this branch an
+        # all-rejected first batch wedges the stream permanently).
+        # A readable-but-wrong sink (schema drift, bad footers) must
+        # kill the batch, not silently ingest duplicates.
+        if (e.getErrorClass() or "") not in (
+            "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+        ):
             raise
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = sp.conf.get(key, None)
@@ -535,9 +541,12 @@ def curate_micro_batch_by_file(
         )
         kept = _drop_vs_prior(kept, prior, near_dup_bands, near_dup_threshold)
     except AnalysisException as e:
-        # ONLY a missing sink (first batch) may skip the dedup (same
-        # rule as curate_micro_batch)
-        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+        # ONLY an empty sink (missing dir OR footerless dir from an
+        # all-rejected first batch) may skip the dedup — same rule as
+        # curate_micro_batch
+        if (e.getErrorClass() or "") not in (
+            "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+        ):
             raise
     L.write_stage_by_file(
         kept, out_dir, "curated", f"stream-epoch-{int(epoch_id)}", files

@@ -1296,3 +1296,40 @@ def test_backfill_near_dup_index_guards_stream(spark, tmp_path):
     q.awaitTermination(300)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 2, 11}, got
+
+
+def test_curated_stream_survives_all_rejected_first_batch(spark, tmp_path):
+    """Round-5 review: a first micro-batch that keeps ZERO docs writes
+    a footerless sink dir; the next batch's prior-read must treat it
+    as an empty sink (UNABLE_TO_INFER_SCHEMA), not die — in both sink
+    modes."""
+    from spanmarkerner_spark.streaming.ingest import (
+        curate_micro_batch,
+        curate_micro_batch_by_file,
+    )
+    from spanmarkerner_spark.plans.lineage import with_file_key
+    from pyspark.sql import functions as F
+
+    # benchmark that contaminates the first batch's only doc
+    bench = spark.createDataFrame(
+        [(999, "the secret eval answer is hidden")], "doc_id long, text string"
+    )
+    poison = "the secret eval answer is " + " ".join(f"p{i}" for i in range(10))
+    good = "alpha " + " ".join(f"w{i}" for i in range(15))
+
+    # epoch-partitioned mode
+    out = str(tmp_path / "out_epoch")
+    b0 = spark.createDataFrame([(1, poison)], "doc_id long, text string")
+    curate_micro_batch(b0, 0, out, bench, quality_min=0.0)
+    b1 = spark.createDataFrame([(2, good)], "doc_id long, text string")
+    curate_micro_batch(b1, 1, out, bench, quality_min=0.0)  # must not raise
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [2]
+
+    # file-lineage mode
+    out2 = str(tmp_path / "out_file")
+    k0 = with_file_key(b0.withColumn("fp", F.lit("f0")), F.col("fp"))
+    curate_micro_batch_by_file(k0, 0, out2, bench, quality_min=0.0)
+    k1 = with_file_key(b1.withColumn("fp", F.lit("f1")), F.col("fp"))
+    curate_micro_batch_by_file(k1, 1, out2, bench, quality_min=0.0)
+    got = [r["doc_id"] for r in spark.read.parquet(f"{out2}/curated").collect()]
+    assert got == [2]
