@@ -488,3 +488,74 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def near_dup_keep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Keep-one-per-cluster near-dup resolution: the step AFTER pair
+    finding that production dedup actually ships. SimHash pairs
+    (simhash_near_dup_pairs) become an undirected graph, connected
+    components merge transitive near-dups into clusters (A~B, B~C
+    must not keep both A and C), and ONE survivor per cluster is
+    chosen by the deterministic total order (longest text, then
+    smallest id) — the longest-member rule of RefinedWeb/SlimPajama
+    style curation.
+
+    Returns (doc_id, cluster, cluster_size, keep) for every doc that
+    belongs to a near-dup cluster; docs with no near-dup never enter
+    the component computation (pair-graph nodes only), so the output
+    is proportional to the duplicated subset, not the corpus.
+
+    Scale design (10^12 docs): the pair graph is the banded-LSH
+    output (bounded by the bucket cap), orders of magnitude smaller
+    than the corpus; connected_components runs pointer-jumping rounds
+    over THAT graph only, and the final survivor window shuffles one
+    thin (id, cluster, len) row per clustered doc. The corpus is
+    touched exactly twice: once to hash (map-side), once to join the
+    per-doc length onto clustered ids — broadcastable whenever the
+    clustered subset is small, and AQE decides from the exact
+    post-shuffle size.
+    """
+    from spanmarkerner_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = simhash_near_dup_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    stats = docs.select(
+        F.col(id_col).alias("node"), F.length(text_col).alias("_len")
+    )
+    members = comp.join(stats, "node").withColumnRenamed(
+        "component", "cluster"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("_len"), F.asc("node")
+    )
+    return (
+        members.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster")),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col("node").alias(id_col),
+            "cluster",
+            "cluster_size",
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )

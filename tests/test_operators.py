@@ -1333,3 +1333,65 @@ def test_curated_stream_survives_all_rejected_first_batch(spark, tmp_path):
     curate_micro_batch_by_file(k1, 1, out2, bench, quality_min=0.0)
     got = [r["doc_id"] for r in spark.read.parquet(f"{out2}/curated").collect()]
     assert got == [2]
+
+
+def test_triangle_count_hand_graph(spark):
+    """Two triangles sharing edge (2,3) plus a pendant: counts must be
+    per-corner exact, pendant absent, orientation double-count-free."""
+    from spanmarkerner_spark.operators.graph import triangle_count
+
+    und = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (1, 5)]
+    # feed BOTH directions (cooccurrence_edges contract)
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}, got
+
+
+def test_triangle_count_complete_graph(spark):
+    """K5: every node sits in C(4,2)=6 triangles — the worst-case
+    density the degree orientation must still count exactly once."""
+    from spanmarkerner_spark.operators.graph import triangle_count
+
+    rows = [(a, b) for a in range(5) for b in range(5) if a != b]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {n: 6 for n in range(5)}, got
+
+
+def test_near_dup_keep_transitive_survivor(spark):
+    """A~B and B~C but A,C two words apart: the component must merge
+    all three and keep exactly ONE survivor (longest text, then
+    smallest id); the unrelated doc must not appear at all."""
+    from spanmarkerner_spark.operators.dedup import (
+        near_dup_keep,
+        simhash_near_dup_pairs,
+    )
+
+    # substitution words searched offline for simhash hamming <= 2
+    # (a 1-of-41 word swap flips ~3.7 bits in expectation, so an
+    # arbitrary word is FLAKY against the <= 3 threshold)
+    base = [f"w{i}" for i in range(41)]
+    a = " ".join(base)
+    b_words = list(base)
+    b_words[7] = "xc0"  # 1 char longer than "w7" -> b,c outrank a
+    b = " ".join(b_words)
+    c_words = list(b_words)
+    c_words[29] = "yc0"
+    c = " ".join(c_words)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "totally different short text here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs, pairs
+
+    rows = near_dup_keep(docs).collect()
+    got = {r["doc_id"]: (r["cluster"], r["cluster_size"], r["keep"]) for r in rows}
+    assert set(got) >= {1, 2, 3} and 9 not in got, got
+    assert {got[i][0] for i in (1, 2, 3)} == {1}  # one merged cluster
+    assert [i for i in got if got[i][2]] == [2]  # longest survives
+    assert got[1][1] == len(got)  # cluster_size == member count
