@@ -752,6 +752,55 @@ def text_tfidf_topk(spark, sf_dir):
 
 
 @_q(
+    "corpus_pmi",
+    """
+    -- quantized PMI word association: pmi_scaled = cooc*N*1e6 //
+    -- (df1*df2); log-PMI is rank-equivalent (log monotone), integer
+    -- arithmetic end-to-end. Vocabulary capped at top-64 by
+    -- (df DESC, w ASC) BEFORE pairing.
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), words AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+    ), dfreq AS (
+      SELECT w, count(*)::BIGINT AS df FROM words GROUP BY w
+    ), vocab AS (
+      SELECT w, df FROM (
+        SELECT w, df,
+               row_number() OVER (ORDER BY df DESC, w ASC) AS rn
+        FROM dfreq) WHERE rn <= 64
+    ), wv AS (
+      SELECT doc_id, words.w FROM words JOIN vocab ON vocab.w = words.w
+    ), pairs AS (
+      SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS cooc
+      FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+    ), n AS (SELECT count(*)::BIGINT AS n FROM documents)
+    SELECT w1, w2, cooc, v1.df AS df1, v2.df AS df2,
+           ((cooc * n.n * 1000000) // (v1.df * v2.df))::BIGINT AS pmi_scaled
+    FROM pairs
+    JOIN vocab v1 ON v1.w = w1
+    JOIN vocab v2 ON v2.w = w2
+    CROSS JOIN n
+    WHERE cooc >= 5
+    """,
+)
+def corpus_pmi(spark, sf_dir):
+    """Corpus-level quantized-PMI collocation pairs — the entity/
+    term-affinity signal a KG builder ranks candidate relations by.
+    Pair blow-up capped by a broadcast top-64 vocabulary before the
+    doc self-join; see operators/corpus_stats.py pmi_pairs for the
+    100 TB design."""
+    from spanmarkerner_spark.operators.corpus_stats import pmi_pairs
+
+    return pmi_pairs(_t(spark, sf_dir, "documents"), vocab_k=64, min_cooc=5)
+
+
+@_q(
     "agg_quantiles",
     """
     -- exact type-1 discrete quantiles per event_type: the value at
@@ -1128,6 +1177,42 @@ def ann_pq_adc(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), dim=64, m_sub=4, k_codes=8,
         iters=2, k=5, n_queries=8,
     )
+
+
+@_q(
+    "sample_temperature",
+    """
+    WITH c AS (
+      SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source
+    ), sn AS (
+      SELECT source, n_s,
+             CAST(round(sqrt(n_s) * 1024) AS BIGINT) AS sn
+      FROM c
+    ), t AS (
+      SELECT sum(n_s)::BIGINT AS n_tot, sum(sn)::BIGINT AS s_tot FROM sn
+    ), r AS (
+      SELECT source,
+             least(1000000::BIGINT,
+                   (500000 * t.n_tot * sn.sn) // (t.s_tot * sn.n_s))
+               AS rate_ppm
+      FROM sn, t
+    )
+    SELECT d.doc_id, d.source, r.rate_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+            % 1000000 < r.rate_ppm
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-based (alpha = 1/2) domain reweighting — the
+    n^alpha data-mixing rule of LLM corpus recipes, with a
+    deterministic per-doc hash threshold instead of RNG. Weights are
+    bit-identical cross-engine (sqrt is the one correctly-rounded
+    IEEE power; everything else BIGINT). See operators/sampling.py
+    temperature_sample for the zero-corpus-shuffle 100 TB design."""
+    from spanmarkerner_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(_t(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -3266,7 +3351,8 @@ _PRIORITY = [
     # round-5 NEW operators (no prior driver row anywhere): must be
     # in-window this round
     "dedup_substring", "graph_label_prop", "dedup_semantic",
-    "graph_triangles", "dedup_cluster_keep",
+    "graph_triangles", "dedup_cluster_keep", "sample_temperature",
+    "corpus_pmi",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -3280,8 +3366,11 @@ _TAIL = [
     # ann_ivf_kmeans green r4, ANN family keeps brute/pq_adc/ivf_pq/
     # residual in-window; f7_fingerprint green r1-r4, text family
     # keeps token_counts/quality/pii in-window (judge-sanctioned
-    # demotion class).
-    "ann_ivf_kmeans", "f7_fingerprint",
+    # demotion class); a5_distinct_count green r1-r4 (same class);
+    # asof_join_events green r4, events family keeps
+    # events_session_window in-window.
+    "ann_ivf_kmeans", "f7_fingerprint", "a5_distinct_count",
+    "asof_join_events",
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",
     "pack_sequences_docs", "graph_pagerank", "dedup_ngram_jaccard",

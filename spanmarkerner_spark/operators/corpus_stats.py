@@ -121,3 +121,81 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 64,
+    min_cooc: int = 5,
+    scale: int = PPM,
+) -> DataFrame:
+    """Quantized pointwise-mutual-information word association over
+    document co-occurrence — the collocation / entity-affinity signal
+    (KG builders rank candidate relation pairs by it; phrase-mining
+    and word2vec-era embeddings factorize exactly this matrix).
+
+    PMI = log P(x,y)/(P(x)P(y)); log is monotone in the rational
+    inside, so the quantized rational
+        pmi_scaled = cooc * N * scale DIV (df_x * df_y)
+    ranks pairs identically while staying in BIGINT end-to-end
+    (bit-identical cross-engine; same trick as tfidf_topk's idf).
+    Document-level co-occurrence with per-doc distinct words.
+
+    Scale design (10^12 docs): the pair blow-up is capped BEFORE the
+    self-join by restricting to the top `vocab_k` words by document
+    frequency (deterministic (df DESC, word ASC) order) — the
+    vocabulary table is tiny and broadcast, so the per-doc pair
+    expansion is <= C(vocab_k, 2) regardless of document length, and
+    the only wide shuffles are vocabulary-thin aggregations. The
+    global top-k window runs on the already-aggregated df table
+    (vocabulary-sized), not the corpus. BIGINT bound: cooc * N *
+    scale must stay under 2^63 — lower `scale` at extreme N.
+
+    Returns (w1, w2, cooc, df1, df2, pmi_scaled) for pairs with
+    cooc >= min_cooc, w1 < w2.
+    """
+    words = (
+        ensure_min_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(tokens_ws(text_col), lambda t: F.lower(t))
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    dfreq = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    vocab = (
+        dfreq.withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy(F.desc("df"), F.asc("w"))),
+        )
+        .filter(F.col("_rn") <= vocab_k)
+        .drop("_rn")
+    )
+    wv = words.join(F.broadcast(vocab.select("w")), "w")
+    a = wv.select(F.col(id_col), F.col("w").alias("w1"))
+    b = wv.select(F.col(id_col), F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    v1 = vocab.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    v2 = vocab.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1", "w2", "cooc", "df1", "df2",
+            F.expr(f"(cooc * n * {scale}) div (df1 * df2)")
+            .cast("long")
+            .alias("pmi_scaled"),
+        )
+    )

@@ -127,3 +127,71 @@ def pack_sequences(
             f" - start_offset div {budget}"
         ).cast("long").alias("n_spanned"),
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget_ppm: int = 500_000,
+    sqrt_scale: int = 1024,
+) -> DataFrame:
+    """Temperature-based domain reweighting (alpha = 0.5): the data-
+    mixing step of LLM corpus assembly — sample domain s with
+    probability proportional to n_s^alpha instead of n_s, so giant
+    crawl domains stop drowning small high-quality ones (the
+    n^alpha mixture of GPT-3 / LLaMA data recipes; alpha fixed at 1/2
+    because sqrt is the one power IEEE-754 guarantees correctly
+    rounded, making the weights bit-identical cross-engine).
+
+    Per-domain keep rate (ppm, capped at 10^6):
+        rate_s = budget_ppm * N * sn_s / (S * n_s)
+    with sn_s = round(sqrt(n_s) * sqrt_scale) as BIGINT, S = sum(sn_s),
+    N = corpus size — expected kept mass ~= budget_ppm/10^6 of the
+    corpus, distributed over domains proportional to sqrt(n_s). The
+    keep decision is a deterministic per-doc hash threshold, so the
+    sample is reproducible and resumable (no RNG state).
+
+    All arithmetic is BIGINT except the one correctly-rounded sqrt:
+    products stay under 2^63 while budget_ppm * N * sn_s < 9.2e18 —
+    at 10^12 docs lower sqrt_scale (the docstring bound is the loud
+    failure: DuckDB raises on BIGINT overflow, and Spark should run
+    this operator under ANSI mode for the same guarantee).
+
+    Scale design (10^12 docs): the per-domain stats table is
+    domains-sized (thin groupBy with map-side combine — the ONLY
+    shuffle); rates broadcast back; the corpus itself is scanned once
+    and filtered map-side by hash threshold. No corpus shuffle, no
+    RNG, no driver loop.
+
+    Returns kept (id_col, group_col, rate_ppm).
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
+    sn = counts.withColumn(
+        "sn",
+        F.expr(
+            f"CAST(round(sqrt(CAST(n_s AS DOUBLE)) * {sqrt_scale}) AS BIGINT)"
+        ),
+    )
+    tots = sn.agg(
+        F.sum("n_s").alias("n_tot"), F.sum("sn").alias("s_tot")
+    )
+    rates = sn.crossJoin(F.broadcast(tots)).select(
+        group_col,
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(f"({budget_ppm} * n_tot * sn) div (s_tot * n_s)"),
+        ).alias("rate_ppm"),
+    )
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        (portable_hash64(F.col(id_col).cast("string")) % 1_000_000).alias(
+            "_h"
+        ),
+    )
+    return (
+        keyed.join(F.broadcast(rates), group_col)
+        .filter(F.col("_h") < F.col("rate_ppm"))
+        .select(id_col, group_col, "rate_ppm")
+    )

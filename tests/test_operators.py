@@ -1395,3 +1395,61 @@ def test_near_dup_keep_transitive_survivor(spark):
     assert {got[i][0] for i in (1, 2, 3)} == {1}  # one merged cluster
     assert [i for i in got if got[i][2]] == [2]  # longest survives
     assert got[1][1] == len(got)  # cluster_size == member count
+
+
+def test_temperature_sample_flattens_domains(spark):
+    """90/10 skewed domains: sqrt reweighting must boost the small
+    domain's keep rate above the large one's, rates must match the
+    exact integer formula, and every kept row carries its domain's
+    rate."""
+    import math
+
+    from spanmarkerner_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(90)] + [
+        (100 + i, "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(
+        docs, group_col="source", budget_ppm=500_000
+    ).collect()
+
+    sn = {n: int(round(math.sqrt(n) * 1024)) for n in (90, 10)}
+    s_tot, n_tot = sn[90] + sn[10], 100
+    exp = {
+        "big": min(10**6, (500_000 * n_tot * sn[90]) // (s_tot * 90)),
+        "small": min(10**6, (500_000 * n_tot * sn[10]) // (s_tot * 10)),
+    }
+    assert exp["small"] > exp["big"]
+    got_rates = {r["source"]: r["rate_ppm"] for r in out}
+    assert got_rates == exp, (got_rates, exp)
+    # keep decision is per-doc deterministic: rerun is identical
+    again = temperature_sample(docs, group_col="source").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+
+
+def test_pmi_pairs_hand_values(spark):
+    """4-doc corpus: (a,b) always co-occur, c is background — scaled
+    PMI must equal the exact integer formula and rank (a,b) first."""
+    from spanmarkerner_spark.operators.corpus_stats import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x1 y1"),
+            (2, "a b c x2 y2"),
+            (3, "a b c x3 y3"),
+            (4, "c z1 z2 z3 z4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): (r["cooc"], r["df1"], r["df2"], r["pmi_scaled"])
+        for r in pmi_pairs(docs, vocab_k=3, min_cooc=2).collect()
+    }
+    # vocab (df DESC, w ASC): c(4), a(3), b(3)
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}, out
+    assert out[("a", "b")] == (3, 3, 3, (3 * 4 * 10**6) // 9)
+    assert out[("a", "c")] == (3, 3, 4, (3 * 4 * 10**6) // 12)
+    assert out[("a", "b")][3] > out[("a", "c")][3]
