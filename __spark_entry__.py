@@ -92,6 +92,14 @@ def _q(name: str, oracle: str | None = None):
     return reg
 
 
+# DuckDB rendering of the dedup-family tokenizer (operators/dedup.py
+# _norm_text + split): lower, collapse whitespace, drop empties.
+_SHINGLE_TOKENS_SQL = (
+    "list_filter(string_split("
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+
 # ---- scans / projections / filters (S1, P1, P4) ----------------------
 
 @_q(
@@ -798,6 +806,88 @@ def corpus_pmi(spark, sf_dir):
     from spanmarkerner_spark.operators.corpus_stats import pmi_pairs
 
     return pmi_pairs(_t(spark, sf_dir, "documents"), vocab_k=64, min_cooc=5)
+
+
+@_q(
+    "text_quality_classifier",
+    f"""
+    -- fastText-style hashed linear classifier: score = sum over
+    -- unigram+bigram features of (hash('qw|'||g) % 2001 - 1000);
+    -- deterministic hash-derived weights stand in for trained ones
+    -- (same dataflow: hash -> weight lookup -> linear sum).
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLE_TOKENS_SQL} AS t FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             list_concat(
+               t,
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(range(len(t) - 1),
+                   i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+               ELSE [] END) AS fs
+      FROM toks
+    )
+    SELECT doc_id,
+           len(fs)::BIGINT AS n_feats,
+           coalesce(list_aggregate(list_transform(fs,
+             g -> (('0x' || substr(md5('qw|' || g), 1, 15))::BIGINT % 2001)
+                  - 1000), 'sum'), 0)::BIGINT AS score,
+           coalesce(list_aggregate(list_transform(fs,
+             g -> (('0x' || substr(md5('qw|' || g), 1, 15))::BIGINT % 2001)
+                  - 1000), 'sum'), 0) > 0 AS keep
+    FROM feats
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier (CCNet/LLaMA
+    "wiki-like page" filter): hashed unigram+bigram features, linear
+    score, keep threshold — zero shuffle, pure codegen expressions.
+    See operators/corpus_stats.py quality_classifier_scores for the
+    100 TB design."""
+    from spanmarkerner_spark.operators.corpus_stats import (
+        quality_classifier_scores,
+    )
+
+    return quality_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_lm_fluency",
+    f"""
+    -- corpus-trained bigram-LM fluency (CCNet KenLM-ppl filter,
+    -- integer-exact stand-in): per-doc mean of quantized
+    -- conditional probabilities c(w1 w2)*1e6 // c(w1).
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLE_TOKENS_SQL} AS t FROM documents
+    ), inst AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i + 1, i + 2), ' ') AS gram,
+             t[i + 1] AS w1
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w1, count(*)::BIGINT AS c1
+      FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+    ), bi AS (
+      SELECT gram, count(*)::BIGINT AS c2 FROM inst GROUP BY gram
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           (sum((c2 * 1000000) // c1)::BIGINT // count(*))::BIGINT
+             AS fluency_ppm
+    FROM inst JOIN bi USING (gram) JOIN uni USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def text_lm_fluency(spark, sf_dir):
+    """Bigram language-model fluency score trained on the corpus
+    itself — the CCNet perplexity-filter dataflow in exact BIGINT
+    arithmetic (arithmetic mean of quantized conditionals; rank
+    stand-in for log-ppl). Vocabulary-thin count joins; see
+    operators/corpus_stats.py lm_fluency for the 100 TB design."""
+    from spanmarkerner_spark.operators.corpus_stats import lm_fluency
+
+    return lm_fluency(_t(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -1998,12 +2088,6 @@ def dedup_exact(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
-_SHINGLE_TOKENS_SQL = (
-    "list_filter(string_split("
-    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
-)
-
-
 def _shingles_sql(n: int = 3) -> str:
     return (
         f"CASE WHEN len({_SHINGLE_TOKENS_SQL}) >= {n} THEN "
@@ -2098,6 +2182,51 @@ def dedup_substring(spark, sf_dir):
     from spanmarkerner_spark.operators.dedup import repeated_window_stats
 
     return repeated_window_stats(_t(spark, sf_dir, "documents"), k=8)
+
+
+@_q(
+    "dedup_lines",
+    f"""
+    -- CCNet/RefinedWeb line-grain dedup at non-overlapping 8-word
+    -- chunk grain: a chunk occurring in >= 2 DISTINCT docs is
+    -- boilerplate and dropped from every doc carrying it. Differs
+    -- from dedup_substring in grain (non-overlapping) and predicate
+    -- (distinct docs, not total occurrences).
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLE_TOKENS_SQL} AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(t, i * 8 + 1, i * 8 + 8), ' ')), 1, 15))::BIGINT
+               AS h
+      FROM toks, UNNEST(range(len(t) // 8)) AS u(i)
+      WHERE len(t) >= 8
+    ), per AS (
+      SELECT doc_id, h, count(*)::BIGINT AS c_inst
+      FROM chunks GROUP BY doc_id, h
+    ), dc AS (
+      SELECT h, count(*)::BIGINT AS dc FROM per GROUP BY h
+    )
+    SELECT p.doc_id,
+           sum(c_inst)::BIGINT AS n_chunks,
+           sum(CASE WHEN d.dc >= 2 THEN c_inst ELSE 0 END)::BIGINT
+             AS n_dropped,
+           (((sum(c_inst)
+              - sum(CASE WHEN d.dc >= 2 THEN c_inst ELSE 0 END)) * 1000000)
+             // sum(c_inst))::BIGINT AS kept_ppm
+    FROM per p JOIN dc d USING (h)
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_lines(spark, sf_dir):
+    """Cross-document line/paragraph dedup (CCNet paragraph dedup /
+    RefinedWeb line dedup) at non-overlapping 8-word chunk grain:
+    per-doc chunk count, dropped-chunk count and kept_ppm. Thin
+    (id, hash) shuffles only; see operators/dedup.py
+    line_dedup_stats for the 100 TB design."""
+    from spanmarkerner_spark.operators.dedup import line_dedup_stats
+
+    return line_dedup_stats(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
 
 
 @_q(
@@ -3339,7 +3468,7 @@ def multimodal_features(spark, sf_dir):
 _PRIORITY = [
     "kg_mentions", "kg_triples", "kg_triples_rich", "kg_triples_canonical",
     "kg_linked_cross", "spacy_doc_entities", "kg_mentions_context",
-    "model_card_stats", "trainer_eval_metrics", "multimodal_features",
+    "model_card_stats", "trainer_eval_metrics",
     "ann_brute_topk",
     # Round-5 rotation (r4 verdict ask #1): the four queries that had
     # never received a driver CORRECTNESS row in any round, plus the
@@ -3353,6 +3482,9 @@ _PRIORITY = [
     "dedup_substring", "graph_label_prop", "dedup_semantic",
     "graph_triangles", "dedup_cluster_keep", "sample_temperature",
     "corpus_pmi",
+    # round-5 third-wave NEW operators (no prior driver row): line
+    # dedup, hashed quality classifier, bigram-LM fluency
+    "dedup_lines", "text_quality_classifier", "text_lm_fluency",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -3371,6 +3503,13 @@ _TAIL = [
     # events_session_window in-window.
     "ann_ivf_kmeans", "f7_fingerprint", "a5_distinct_count",
     "asof_join_events",
+    # Round-5 third-wave demotions (one per query added): w3_topk_per_group
+    # green r1-r4 and W3/P5 are also value-checked by the always-in-window
+    # kg chain; dedup_exact green r1-r4, dedup family keeps
+    # minhash/substring/semantic/cluster_keep/lines in-window;
+    # multimodal_features green r1-r4, family keeps
+    # multimodal_frame_stats in-window.
+    "w3_topk_per_group", "dedup_exact", "multimodal_features",
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",
     "pack_sequences_docs", "graph_pagerank", "dedup_ngram_jaccard",

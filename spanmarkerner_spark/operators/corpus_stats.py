@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash64
 from ..functions.text import tokens_ws
 from ..session import ensure_min_parallelism
 from .dedup import shingle_tokens
@@ -120,6 +121,116 @@ def tfidf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "qw",
+    buckets: int = 2001,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier — the document
+    filter CCNet / LLaMA-era pipelines run as "is this page
+    wiki-like?" (Joulin et al. 2017 fastText; Touvron et al. 2023
+    §2): a linear model over hashed unigram+bigram features,
+    score = sum_g weight[hash(g)]. Here the weight table is derived
+    deterministically from the feature hash itself
+    (weight = h % buckets - buckets//2, uniform in [-1000, 1000] for
+    the default), standing in for trained weights the sandbox cannot
+    ship — the dataflow (feature hashing, weight lookup, linear
+    score, threshold) is the production shape; swapping real weights
+    means broadcasting a weight array and indexing it with the same
+    hash.
+
+    Output: (doc_id, n_feats, score, keep) — keep = score > 0.
+
+    Scale design (100 TB): ZERO shuffle — feature extraction,
+    hashing, weight lookup and the linear sum are all higher-order
+    array expressions inside whole-stage codegen; the operator is a
+    pure map over the corpus scan, embarrassingly parallel at any
+    scale. A trained-weight variant broadcasts one float array
+    (2 MB at 2^19 buckets) to every executor.
+    """
+    half = buckets // 2
+    feats = F.concat(
+        shingle_tokens(F.col(text_col), 1), shingle_tokens(F.col(text_col), 2)
+    )
+    score = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + portable_hash64(g, salt=salt) % buckets
+        - F.lit(half),
+    )
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        F.size(feats).cast("long").alias("n_feats"),
+        score.cast("long").alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def lm_fluency(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = PPM,
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score — the
+    KenLM-perplexity quality filter of CCNet (Wenzek et al. 2020)
+    re-expressed in exact integer arithmetic: the bigram MLE
+    P(w2|w1) = c(w1 w2)/c(w1) is estimated from the corpus itself,
+    each document is scored by the mean quantized conditional
+    probability of its bigram instances, and low scores mark
+    disfluent / unnatural pages. (True ppl is the *geometric* mean;
+    the arithmetic mean of quantized conditionals is the
+    cross-engine-exact stand-in — both are monotone fluency signals,
+    and log-free BIGINT math is what the value oracle can pin.
+    Denominator is the plain unigram count, the standard MLE.)
+
+    Output: (doc_id, n_bigrams, fluency_ppm) for docs with >= 1
+    bigram; fluency_ppm = (sum over instances of
+    c(w1 w2)*1e6 DIV c(w1)) DIV n_bigrams.
+
+    Scale design (100 TB): the two count tables are vocabulary-sized
+    (zipf-thin after map-side partial aggregation); the count-back
+    joins shuffle only (gram)/(w1) keyed rows, never text, and both
+    count tables broadcast when the vocabulary fits (AQE decides
+    from exact sizes). Hot grams ("of the") collapse map-side in the
+    count aggregations; the instance-side join key skew is AQE
+    skew-split. Per-doc scoring is one keyed agg on doc_id.
+    """
+    docs = ensure_min_parallelism(docs)
+    inst = docs.select(
+        F.col(id_col),
+        F.explode(shingle_tokens(F.col(text_col), 2)).alias("gram"),
+    ).withColumn("w1", F.split("gram", " ")[0])
+    uni = (
+        docs.select(
+            F.explode(shingle_tokens(F.col(text_col), 1)).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = inst.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    return (
+        inst.join(bi, "gram")
+        .join(uni, "w1")
+        .withColumn("cond_q", F.expr(f"(c2 * {scale}) div c1"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cond_q").cast("long").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("_s div n_bigrams").cast("long").alias("fluency_ppm"),
+        )
     )
 
 

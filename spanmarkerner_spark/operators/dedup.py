@@ -490,6 +490,86 @@ def semantic_dedup_pairs(
     )
 
 
+def line_dedup_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line/paragraph dedup at fixed chunk grain — the
+    CCNet paragraph-dedup / RefinedWeb line-dedup signal (Wenzek et
+    al. 2020; Penedo et al. 2023): a text unit that recurs across
+    *distinct* documents is boilerplate (headers, navigation, legal
+    footers) and is dropped from every document that carries it.
+    Since the reference corpus has no newline structure, the unit
+    here is the non-overlapping k-word chunk (documented stand-in;
+    the operator is unit-agnostic — swap the chunker for
+    split('\\n') on real pages).
+
+    Differs from repeated_window_stats (ExactSubstr) in both grain
+    (non-overlapping chunks vs stride-1 windows) and predicate
+    (>= min_docs DISTINCT docs vs total occurrences > 1 anywhere —
+    a chunk repeated 5x inside one doc is repetition, not
+    boilerplate, and is NOT dropped here).
+
+    Output per document with >= 1 full chunk:
+      (doc_id, n_chunks, n_dropped, kept_ppm)
+    kept_ppm is integer parts-per-million of chunks surviving the
+    drop — exact cross-engine (BIGINT div).
+
+    Scale design (100 TB): chunk rows are thin (id, 8-byte hash);
+    the distinct-doc count is a (doc_id, hash) pre-aggregation (so a
+    within-doc repeat collapses map-side before the hash-keyed
+    count) followed by one window over the hash exchange. Hot
+    boilerplate hashes (the same footer on 10^8 pages) collapse to
+    one row per (doc, hash) before the count — the count key sees at
+    most one row per affected document, and AQE splits what skew
+    remains. Text bytes never shuffle.
+    """
+    docs = ensure_min_parallelism(docs)
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    n_full = F.floor(F.size(toks) / F.lit(k)).cast("int")
+    chunks = F.when(
+        n_full >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: portable_hash64(
+                F.array_join(F.slice(toks, i * k + 1, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = docs.select(F.col(id_col), F.explode(chunks).alias("h"))
+    per_doc_h = ex.groupBy(id_col, "h").agg(
+        F.count(F.lit(1)).alias("c_inst")
+    )
+    # rows of per_doc_h are unique per (doc, hash), so a plain count
+    # over the hash partition IS the distinct-document count — no
+    # unsupported DISTINCT window needed
+    flagged = per_doc_h.withColumn(
+        "_dc", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("c_inst").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("_dc") >= min_docs, F.col("c_inst")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dropped",
+            F.expr("((n_chunks - n_dropped) * 1000000) div n_chunks")
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
+
+
 def near_dup_keep(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -193,3 +193,87 @@ def test_exact_quantiles_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "k string, id long, v double")
     got = {r["p"]: r["q"] for r in exact_quantiles(df, ["k"], "v", "id", ps=(0.5, 1.0)).collect()}
     assert got == {0.5: 1.0, 1.0: 2.0}   # nulls neither rank nor count
+
+
+# ---------------- line dedup / quality classifier / LM fluency ----------------
+
+def test_line_dedup_drops_cross_doc_chunks_only(spark):
+    """A chunk repeated across DISTINCT docs is boilerplate and
+    dropped everywhere; the same chunk repeated inside one doc is
+    repetition, not boilerplate, and survives (the predicate that
+    separates line_dedup_stats from repeated_window_stats)."""
+    from spanmarkerner_spark.operators.dedup import line_dedup_stats
+
+    rows = [
+        (1, "a b c d a b"),   # chunks: "a b", "c d", "a b"
+        (2, "c d x y"),       # chunks: "c d", "x y"
+        (3, "zz ww"),         # chunk:  "zz ww"
+        (4, "solo"),          # < k words: no chunks, absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["kept_ppm"])
+        for r in line_dedup_stats(docs, k=2).collect()
+    }
+    assert got == {
+        1: (3, 1, 666666),   # only "c d" is cross-doc; "a b" x2 kept
+        2: (2, 1, 500000),
+        3: (1, 0, 1000000),
+    }
+
+
+def test_quality_classifier_score_matches_hash_weights(spark):
+    """Score must equal the sum of md5-derived feature weights the
+    docstring promises (the weight table a trained model would
+    replace) — replicated bit-for-bit in plain python."""
+    import hashlib
+
+    from spanmarkerner_spark.operators.corpus_stats import (
+        quality_classifier_scores,
+    )
+
+    def w(g):
+        h = int(hashlib.md5(("qw|" + g).encode()).hexdigest()[:15], 16)
+        return h % 2001 - 1000
+
+    text = "alpha beta gamma"
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    [row] = quality_classifier_scores(docs).collect()
+    assert row["n_feats"] == len(feats)
+    assert row["score"] == sum(w(g) for g in feats)
+    assert row["keep"] == (row["score"] > 0)
+
+
+def test_quality_classifier_zero_shuffle_plan(spark):
+    """Scale pin: the classifier is a pure map — no hash exchange,
+    no aggregate node anywhere in the physical plan."""
+    from spanmarkerner_spark.operators.corpus_stats import (
+        quality_classifier_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z") for i in range(64)], "doc_id long, text string"
+    )
+    plan = quality_classifier_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_lm_fluency_bigram_mle(spark):
+    """fluency_ppm = mean over bigram instances of
+    c(w1 w2) * 1e6 div c(w1), counts from the corpus itself."""
+    from spanmarkerner_spark.operators.corpus_stats import lm_fluency
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["fluency_ppm"])
+        for r in lm_fluency(docs).collect()
+    }
+    # uni: a=3 b=2 c=1; bi: "a b"=2, "a c"=1
+    assert got == {
+        1: (1, 666666),
+        2: (1, 666666),
+        3: (1, 333333),
+    }
