@@ -1236,6 +1236,108 @@ def ann_ivf_pq_residual(spark, sf_dir):
     )
 
 
+@_q(
+    "ann_sq_topk",
+    """
+    -- SQ8 scalar-quantized flat ANN (FAISS IndexScalarQuantizer):
+    -- per-dim corpus min/max -> 8-bit affine codes -> symmetric L2
+    -- over codes. Exact BIGINT end-to-end (no float anywhere).
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS qi
+      FROM embeddings
+    ), dims AS (
+      SELECT i.i AS d, min(qi[i.i + 1]) AS mn, max(qi[i.i + 1]) AS mx
+      FROM c, (SELECT unnest(range(64)) AS i) i
+      GROUP BY i.i
+    ), st AS (
+      SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+      FROM dims
+    ), codes AS (
+      SELECT vec_id,
+             list_transform(range(64), d ->
+               CASE WHEN mxs[d + 1] > mns[d + 1]
+                    THEN ((qi[d + 1] - mns[d + 1]) * 255)
+                         // (mxs[d + 1] - mns[d + 1])
+                    ELSE 0 END) AS code
+      FROM c, st
+    ), q AS (
+      SELECT vec_id AS query_id, code AS qc
+      FROM codes ORDER BY vec_id LIMIT 8
+    ), scored AS (
+      SELECT q.query_id, c2.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.qc, c2.code),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist
+      FROM q, codes c2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_sq_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) flat ANN: per-dim min/max affine codes,
+    symmetric integer L2 — the compression leg of the ANN trade
+    (1 byte/dim scan), zero training. See operators/similarity.py
+    sq_topk for the 100 TB design."""
+    from spanmarkerner_spark.operators.similarity import sq_topk
+
+    return sq_topk(_t(spark, sf_dir, "embeddings"), k=5, n_queries=8)
+
+
+@_q(
+    "graph_knn_mutual",
+    """
+    -- mutual kNN graph: node A - node B edge iff each is in the
+    -- other's top-5 by quantized cosine among sign-bucket mates
+    -- (single-probe IVF candidates; the ivf_topk layout).
+    WITH base AS (
+      SELECT vec_id AS nid,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT a.nid AS src, b.nid AS dst,
+             round(
+               CAST(list_sum(list_transform(list_zip(a.vi, b.vi),
+                                            p -> p[1] * p[2])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(a.vi, x -> x * x)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(b.vi, x -> x * x)) AS DOUBLE))),
+               6) AS cosine
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.nid <> b.nid
+    ), knn AS (
+      SELECT src, dst, cosine FROM (
+        SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rn
+        FROM scored) WHERE rn <= 5
+    )
+    SELECT x.src AS id_a, x.dst AS id_b, x.cosine
+    FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src
+    WHERE x.src < x.dst
+    """,
+)
+def graph_knn_mutual(spark, sf_dir):
+    """Mutual-kNN graph construction over embeddings: sign-bucket
+    candidates, per-node top-5 by quantized cosine, mutual filter —
+    the edge set semantic clustering builds on. See
+    operators/similarity.py knn_graph_mutual for the 100 TB design."""
+    from spanmarkerner_spark.operators.similarity import knn_graph_mutual
+
+    return knn_graph_mutual(
+        _t(spark, sf_dir, "embeddings"), k=5, bucket_dims=4
+    )
+
+
 @_q("ann_ivf_pq", _ivf_pq_sql(k_cells=8, m_sub=4, sub=16, k_codes=8,
                               iters=2, nprobe=2, topk=5, n_queries=8))
 def ann_ivf_pq(spark, sf_dir):
@@ -3475,7 +3577,7 @@ _PRIORITY = [
     # two that fell out of the 50-row window in r4, go first so every
     # registered query has a driver-proven green row in some round.
     "kg_two_hop", "events_session_window", "ann_pq_adc",
-    "multimodal_frame_stats", "cc_components", "agg_cube",
+    "multimodal_frame_stats", "agg_cube",
     "ann_ivf_pq",
     # round-5 NEW operators (no prior driver row anywhere): must be
     # in-window this round
@@ -3483,8 +3585,10 @@ _PRIORITY = [
     "graph_triangles", "dedup_cluster_keep", "sample_temperature",
     "corpus_pmi",
     # round-5 third-wave NEW operators (no prior driver row): line
-    # dedup, hashed quality classifier, bigram-LM fluency
+    # dedup, hashed quality classifier, bigram-LM fluency, SQ8 ANN,
+    # mutual-kNN graph
     "dedup_lines", "text_quality_classifier", "text_lm_fluency",
+    "ann_sq_topk", "graph_knn_mutual",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -3510,6 +3614,12 @@ _TAIL = [
     # multimodal_features green r1-r4, family keeps
     # multimodal_frame_stats in-window.
     "w3_topk_per_group", "dedup_exact", "multimodal_features",
+    # cc_components green r1-r3 and connected-components semantics
+    # keep TWO in-window value rows (kg_triples_canonical,
+    # dedup_cluster_keep); text_quality green r1-r4, quality scoring
+    # keeps curation_e2e's quality branch + text_quality_classifier
+    # in-window.
+    "cc_components", "text_quality",
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",
     "pack_sequences_docs", "graph_pagerank", "dedup_ngram_jaccard",

@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spanmarkerner_spark.session import ensure_min_parallelism
@@ -728,3 +728,159 @@ def append_ivf_index(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def sq_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_queries: int = 8,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized flat ANN (FAISS IndexScalarQuantizer / SQ8
+    semantics): each dimension is independently affine-mapped to an
+    8-bit code via per-dimension corpus min/max, and search ranks by
+    the symmetric L2 distance between code vectors — exact BIGINT
+    end-to-end (the quantize -> code -> distance chain never touches
+    a float), so the whole index build + search carries a DuckDB
+    value oracle. Queries = the lowest n_queries corpus ids
+    (self-search, as the other ANN entries).
+
+    Output: (query_id, neighbor_id, dist, rank), rank by
+    (dist ASC, neighbor_id ASC).
+
+    Scale design (10^10 vectors): SQ is the *compression* leg of the
+    ANN trade — the scan stays flat but reads 1 byte/dim instead of
+    4 (float32), so the memory-bandwidth-bound exhaustive scan gets
+    ~4-8x cheaper, with none of PQ's codebook training. Per-dim
+    min/max is one tiny aggregation (dim rows, map-side partials);
+    the code computation is a pure map under a broadcast 2xdim stats
+    row; nothing shuffles the corpus. For sub-linear scan, compose
+    with IVF cells exactly as ivf_pq_topk composes PQ — the coarse
+    quantizer prunes, SQ compresses the residual scan.
+    """
+    corpus = ensure_min_parallelism(corpus)
+    qvecs = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+        ).alias("qi"),
+    ).filter(F.col("qi").isNotNull())
+    per_dim = qvecs.select(
+        F.posexplode("qi").alias("d", "x")
+    ).groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    stats = per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))), lambda s: s.mn
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s.mx
+        ).alias("mxs"),
+    )
+    coded = qvecs.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.expr(
+            "transform(sequence(0, size(qi) - 1), d -> "
+            f"CASE WHEN mxs[d] > mns[d] THEN ((qi[d] - mns[d]) * {levels})"
+            " div (mxs[d] - mns[d]) ELSE CAST(0 AS BIGINT) END)"
+        ).alias("code"),
+    )
+    queries = coded.orderBy(F.col(id_col).asc()).limit(n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("qc")
+    )
+    scored = F.broadcast(queries).crossJoin(
+        coded.select(F.col(id_col).alias("neighbor_id"), "code")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(F.col("qc"), F.col("code"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def knn_graph_mutual(
+    corpus: DataFrame,
+    k: int = 5,
+    bucket_dims: int = 4,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual k-nearest-neighbor graph over an embedding column —
+    the edge set semantic-clustering and SemDeDup-style curation
+    pipelines build before community detection: node A connects to
+    node B iff each is in the other's k nearest neighbors (the
+    mutual filter kills hub nodes' asymmetric fan-in, the standard
+    robustification of kNN graphs).
+
+    Candidates come from the sign-bucket coarse quantizer (the
+    ivf_topk single-probe layout), so neighbor search is quadratic
+    only WITHIN a bucket — never all-pairs — and buckets hotter than
+    max_bucket are dropped (the minhash/simhash hot-bucket cap;
+    recall there is governed by bucket_dims, same knob as ivf_topk).
+    Cosine is the quantized-integer cosine shared with the ANN
+    entries, so the whole chain is DuckDB-value-oracled.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, one row per
+    mutual edge.
+
+    Scale design (10^10 vectors): per-node top-k is one window over
+    the bucket equi-join output (bounded by max_bucket per node);
+    the mutual check is a self-join of the n*k edge list on the
+    REVERSED pair key — thin (id, id, score) rows, nothing touches
+    vectors after scoring. At petabyte scale swap sign buckets for
+    learned IVF cells (ivf_kmeans_topk's assignment) and keep the
+    rest of the chain unchanged.
+    """
+    corpus = ensure_min_parallelism(corpus)
+    base = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+        ).alias("vi"),
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    sized = base.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("_bsz") <= max_bucket)
+    a = sized.select("bucket", F.col("nid").alias("src"), F.col("vi").alias("va"))
+    b = sized.select("bucket", F.col("nid").alias("dst"), F.col("vi").alias("vb"))
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", _int_cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
+    )
+    wr = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    knn = (
+        scored.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k)
+        .select("src", "dst", "cosine")
+    )
+    back = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        knn.join(back, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1453,3 +1453,77 @@ def test_pmi_pairs_hand_values(spark):
     assert out[("a", "b")] == (3, 3, 3, (3 * 4 * 10**6) // 9)
     assert out[("a", "c")] == (3, 3, 4, (3 * 4 * 10**6) // 12)
     assert out[("a", "b")][3] > out[("a", "c")][3]
+
+
+def test_sq_topk_self_nearest_and_integer_dists(spark):
+    """SQ8 codes: self-distance is exactly 0, ranking follows the
+    symmetric code-space L2, dists are exact integers."""
+    from spanmarkerner_spark.operators.similarity import sq_topk
+
+    rows = [
+        (0, [0.0, 1.0]),
+        (1, [0.1, 0.9]),
+        (2, [1.0, 0.0]),
+        (3, [0.9, 0.1]),
+    ]
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sq_topk(cdf, k=4, n_queries=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["dist"])
+        )
+    for q in range(4):
+        ranked = sorted(by_q[q])
+        assert ranked[0][1] == q and ranked[0][2] == 0  # self, dist 0
+        assert all(isinstance(d, int) for _, _, d in ranked)
+    # the near pair ranks before the far pair on both sides
+    assert sorted(by_q[0])[1][1] == 1
+    assert sorted(by_q[2])[1][1] == 3
+
+
+def test_sq_topk_constant_dimension_is_safe(spark):
+    """A dimension with zero corpus spread must map to code 0 (no
+    divide-by-zero), leaving ranking to the informative dims."""
+    from spanmarkerner_spark.operators.similarity import sq_topk
+
+    rows = [(i, [0.5, i / 10.0]) for i in range(6)]
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sq_topk(cdf, k=2, n_queries=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert sorted(by_q[0]) == [(1, 0), (2, 1)]
+    assert sorted(by_q[1]) == [(1, 1), (2, 0)]  # dim-1 adjacency decides
+
+
+def test_knn_graph_mutual_filters_asymmetric_edges(spark):
+    """k=1: A and B are each other's nearest (mutual edge); C's
+    nearest is B but B's nearest is A, so B-C must NOT appear —
+    the hub-suppression property that distinguishes mutual kNN
+    from plain kNN."""
+    from spanmarkerner_spark.operators.similarity import knn_graph_mutual
+
+    rows = [
+        (10, [1.0, 0.02, 0.02, 0.02]),
+        (11, [0.98, 0.05, 0.02, 0.02]),
+        (12, [0.5, 0.86, 0.02, 0.02]),
+    ]
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = [
+        (r["id_a"], r["id_b"]) for r in knn_graph_mutual(cdf, k=1).collect()
+    ]
+    assert edges == [(10, 11)]
+
+
+def test_knn_graph_mutual_one_row_per_edge(spark):
+    """Every emitted edge is id_a < id_b exactly once, and with
+    k >= n all in-bucket pairs are mutual."""
+    from spanmarkerner_spark.operators.similarity import knn_graph_mutual
+
+    rows = [(i, [1.0, 1.0, 1.0, float(i + 1)]) for i in range(4)]
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_graph_mutual(cdf, k=10).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(pairs) == len(set(pairs)) == 6  # C(4,2)
+    assert all(a < b for a, b in pairs)
