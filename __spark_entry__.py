@@ -1338,6 +1338,77 @@ def graph_knn_mutual(spark, sf_dir):
     )
 
 
+_KNN_BOTH_DIR_SQL = """
+    WITH base AS (
+      SELECT vec_id AS nid,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT a.nid AS src, b.nid AS dst,
+             round(
+               CAST(list_sum(list_transform(list_zip(a.vi, b.vi),
+                                            p -> p[1] * p[2])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(a.vi, x -> x * x)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(b.vi, x -> x * x)) AS DOUBLE))),
+               6) AS cosine
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.nid <> b.nid
+    ), knn AS (
+      SELECT src, dst, cosine FROM (
+        SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rn
+        FROM scored) WHERE rn <= 5
+    ), e0 AS MATERIALIZED (
+      SELECT x.src, x.dst FROM knn x JOIN knn y
+      ON x.src = y.dst AND x.dst = y.src
+    )"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled k-core peeling over the mutual-kNN edge set: each
+    round is a (survivors, filtered-edges) CTE pair. AS MATERIALIZED
+    is load-bearing — e{i} is referenced twice per round, and an
+    inlining planner would expand the chain exponentially."""
+    parts = [_KNN_BOTH_DIR_SQL]
+    for i in range(rounds):
+        parts.append(
+            f", s{i + 1} AS MATERIALIZED (SELECT src AS node FROM e{i} "
+            f"GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f", e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN s{i + 1} a ON e.src = a.node "
+            f"JOIN s{i + 1} b ON e.dst = b.node)"
+        )
+    parts.append(
+        f"SELECT src AS node, count(*)::BIGINT AS degree "
+        f"FROM e{rounds} GROUP BY src"
+    )
+    return "\n".join(parts)
+
+
+@_q("graph_kcore", _kcore_sql(k=3, rounds=16))
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=3) of the mutual-kNN graph: iterative
+    peeling until stable (<= 16 rounds; Spark early-stops at the
+    fixed point, which equals running the remaining no-op rounds).
+    The cohesion filter link-graph curation applies before community
+    detection. See operators/graph.py k_core for the 100 TB design."""
+    from spanmarkerner_spark.operators.graph import k_core
+    from spanmarkerner_spark.operators.similarity import knn_graph_mutual
+
+    edges = knn_graph_mutual(
+        _t(spark, sf_dir, "embeddings"), k=5, bucket_dims=4
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return k_core(edges, k=3, max_rounds=16)
+
+
 @_q("ann_ivf_pq", _ivf_pq_sql(k_cells=8, m_sub=4, sub=16, k_codes=8,
                               iters=2, nprobe=2, topk=5, n_queries=8))
 def ann_ivf_pq(spark, sf_dir):
@@ -3588,7 +3659,7 @@ _PRIORITY = [
     # dedup, hashed quality classifier, bigram-LM fluency, SQ8 ANN,
     # mutual-kNN graph
     "dedup_lines", "text_quality_classifier", "text_lm_fluency",
-    "ann_sq_topk", "graph_knn_mutual",
+    "ann_sq_topk", "graph_knn_mutual", "graph_kcore",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -3618,8 +3689,10 @@ _TAIL = [
     # keep TWO in-window value rows (kg_triples_canonical,
     # dedup_cluster_keep); text_quality green r1-r4, quality scoring
     # keeps curation_e2e's quality branch + text_quality_classifier
-    # in-window.
-    "cc_components", "text_quality",
+    # in-window; agg_hypertable_rollup green r1/r3/r4, re-aggregation
+    # semantics also in-window via agg_cube (partial+final shape) and
+    # the events family keeps events_session_window.
+    "cc_components", "text_quality", "agg_hypertable_rollup",
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",
     "pack_sequences_docs", "graph_pagerank", "dedup_ngram_jaccard",

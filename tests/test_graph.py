@@ -71,3 +71,46 @@ def test_label_propagation_two_communities(spark):
     got8 = {r["node"]: r["label"]
             for r in label_propagation(edges.repartition(8), iters=3).collect()}
     assert got8 == got
+
+
+def test_k_core_peels_tail_cascade(spark):
+    """Triangle + pendant chain, k=2: the chain peels in cascade
+    (5 first, then 4), leaving exactly the triangle with in-core
+    degree 2 each. Edges given one-direction-only — k_core must
+    symmetrize internally."""
+    from spanmarkerner_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_path_graph_empties(spark):
+    """A pure path has no 2-core: peeling eats it from both ends —
+    more rounds than nodes/2 never needed, early-stop must still
+    terminate with an empty result."""
+    from spanmarkerner_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    assert k_core(edges, k=2, max_rounds=16).count() == 0
+
+
+def test_k_core_fixed_rounds_is_converged_at_fixture_scale(spark):
+    """The driver oracle unrolls 16 rounds; pin that 16 rounds IS the
+    fixed point on the sf0.001 mutual-kNN graph (so the fixed-grain
+    result equals the true k-core there)."""
+    from spanmarkerner_spark.operators.graph import k_core
+    from spanmarkerner_spark.operators.similarity import knn_graph_mutual
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    edges = knn_graph_mutual(emb, k=5, bucket_dims=4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    a = {(r["node"], r["degree"]) for r in k_core(edges, k=3, max_rounds=16).collect()}
+    b = {(r["node"], r["degree"]) for r in k_core(edges, k=3, max_rounds=24).collect()}
+    assert a == b and len(a) > 0
