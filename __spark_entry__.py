@@ -3623,6 +3623,248 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+# ---- round-5 fourth wave: capture resolution, alias prior, ----------
+# ---- CCNet ppl buckets, KG negative sampling ------------------------
+
+from spanmarkerner_spark.functions.url import canonical_url_sql as _canon_sql
+
+# Deterministic capture fixture shared by the Spark query and the
+# oracle: each doc yields 1-2 captures of ONE logical page under
+# variant URLs (tracking params / fragment / trailing slash / http+www
+# / param order) chosen by the portable md5 hash, with a strictly
+# later warc_ts on the second capture. Every normalizer branch is
+# exercised, and every second capture canonicalizes onto its first
+# (h%4==1 pairs via param sort + utm drop; others via slash/fragment
+# strip), so newest-wins is discriminating on every 2-capture group.
+_URL_CAP_SQL = f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h,
+             'https://Example.org/Docs/' || CAST(doc_id AS VARCHAR) AS b
+      FROM documents
+    ), caps AS (
+      SELECT doc_id,
+             CASE h % 4
+               WHEN 0 THEN b
+               WHEN 1 THEN 'http://www.Example.org/Docs/'
+                           || CAST(doc_id AS VARCHAR)
+                           || '?b=2&utm_source=rss&a=1'
+               WHEN 2 THEN b || '/'
+               ELSE b || '#frag' END AS url,
+             1700000000 + h % 86400 AS warc_ts
+      FROM h
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN h % 4 = 1 THEN b || '?b=2&a=1'
+                  ELSE b || '?utm_campaign=x' END,
+             1700000000 + h % 86400 + h % 977 + 1
+      FROM h WHERE h % 3 = 0
+    )
+"""
+
+
+@_q(
+    "dedup_url",
+    _URL_CAP_SQL
+    + f"""
+    , norm AS (
+      SELECT url, warc_ts, {_canon_sql('url')} AS canonical_url FROM caps
+    ), r AS (
+      SELECT canonical_url, url, warc_ts,
+             row_number() OVER (PARTITION BY canonical_url
+                                ORDER BY warc_ts DESC, url DESC) AS rn,
+             count(*) OVER (PARTITION BY canonical_url) AS n_captures
+      FROM norm
+    )
+    SELECT canonical_url, url AS kept_url, warc_ts AS kept_ts,
+           n_captures::BIGINT AS n_captures
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_url(spark, sf_dir):
+    """URL-grain capture resolution (operators/dedup.py
+    resolve_captures + functions/url.py canonicalizer): collapse
+    multi-capture / variant-URL fetches of one page to the newest
+    capture per canonical URL — the first dedup stage of a
+    Common-Crawl-style crawl over the north-rule (url, warc_ts, ...)
+    input shape. The capture fixture is hash-synthesized from
+    documents identically in both engines (see _URL_CAP_SQL)."""
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+    from spanmarkerner_spark.operators.dedup import resolve_captures
+
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    ds = F.col("doc_id").cast("string")
+    b = F.concat(F.lit("https://Example.org/Docs/"), ds)
+    url0 = (
+        F.when(h % 4 == 0, b)
+        .when(
+            h % 4 == 1,
+            F.concat(
+                F.lit("http://www.Example.org/Docs/"), ds,
+                F.lit("?b=2&utm_source=rss&a=1"),
+            ),
+        )
+        .when(h % 4 == 2, F.concat(b, F.lit("/")))
+        .otherwise(F.concat(b, F.lit("#frag")))
+    )
+    ts0 = (F.lit(1700000000) + h % 86400).cast("long")
+    url1 = F.when(h % 4 == 1, F.concat(b, F.lit("?b=2&a=1"))).otherwise(
+        F.concat(b, F.lit("?utm_campaign=x"))
+    )
+    ts1 = (ts0 + h % 977 + 1).cast("long")
+    caps = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.when(
+                    h % 3 == 0,
+                    F.array(
+                        F.struct(url0.alias("url"), ts0.alias("warc_ts")),
+                        F.struct(url1.alias("url"), ts1.alias("warc_ts")),
+                    ),
+                ).otherwise(
+                    F.array(F.struct(url0.alias("url"), ts0.alias("warc_ts")))
+                )
+            ).alias("c")
+        )
+        .select("c.url", "c.warc_ts")
+    )
+    return resolve_captures(caps, url_col="url", ts_col="warc_ts")
+
+
+@_q(
+    "kg_alias_prior",
+    f"""
+    -- anchor-text commonness prior built FROM the linked corpus
+    WITH m AS (
+      SELECT lower(span) AS surface, entity_id
+      FROM read_parquet('{_KG_FIX_TOKEN}/linked_cross.parquet')
+      WHERE entity_id IS NOT NULL
+    ), c AS (
+      SELECT surface, entity_id, count(*)::BIGINT AS n_links
+      FROM m GROUP BY surface, entity_id
+    )
+    SELECT surface, entity_id, n_links,
+           (sum(n_links) OVER (PARTITION BY surface))::BIGINT AS n_surface,
+           ((n_links * 1000000)
+             // sum(n_links) OVER (PARTITION BY surface))::BIGINT
+             AS prior_ppm,
+           (row_number() OVER (PARTITION BY surface
+                               ORDER BY n_links DESC, entity_id ASC))::BIGINT
+             AS ent_rank
+    FROM c
+    """,
+)
+def kg_alias_prior(spark, sf_dir):
+    """Alias→entity commonness dictionary derived from the linked
+    corpus (operators/linking.py alias_prior): the TagMe/WAT-style
+    p(entity|surface) table that bootstraps the NEXT epoch's
+    candidate-generation dictionary — closing the entity-linking loop
+    of the north_star. Reuses the cached pipeline's linked mentions;
+    oracle aggregates the same linked_cross fixture."""
+    from spanmarkerner_spark.operators.linking import alias_prior
+    from spanmarkerner_spark.operators.rerank import link_mentions_cross
+    from spanmarkerner_spark.pipeline import alias_dict_df, default_config
+
+    base = _kg_base(spark, sf_dir)
+    linked = link_mentions_cross(
+        base["mentions"], alias_dict_df(spark), default_config()
+    )
+    return alias_prior(linked).withColumnRenamed("rank", "ent_rank")
+
+
+@_q(
+    "text_ppl_buckets",
+    f"""
+    -- CCNet head/middle/tail bucketing over the bigram-LM fluency
+    -- score (same CTE chain as text_lm_fluency + per-lang ntile)
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLE_TOKENS_SQL} AS t FROM documents
+    ), inst AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i + 1, i + 2), ' ') AS gram,
+             t[i + 1] AS w1
+      FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w1, count(*)::BIGINT AS c1
+      FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+    ), bi AS (
+      SELECT gram, count(*)::BIGINT AS c2 FROM inst GROUP BY gram
+    ), fl AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_bigrams,
+             (sum((c2 * 1000000) // c1)::BIGINT // count(*))::BIGINT
+               AS fluency_ppm
+      FROM inst JOIN bi USING (gram) JOIN uni USING (w1)
+      GROUP BY doc_id
+    ), j AS (
+      SELECT fl.doc_id, d.lang, fl.n_bigrams, fl.fluency_ppm
+      FROM fl JOIN documents d ON fl.doc_id = d.doc_id
+    ), nt AS (
+      SELECT *, ntile(3) OVER (PARTITION BY lang
+                               ORDER BY fluency_ppm DESC, doc_id ASC)
+                  AS _nt
+      FROM j
+    )
+    SELECT doc_id, lang, n_bigrams, fluency_ppm,
+           CASE _nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+    FROM nt
+    """,
+)
+def text_ppl_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (operators/corpus_stats.py
+    ppl_buckets): per-language head/middle/tail terciles of the
+    corpus-trained LM fluency score — the curation cut CCNet draws
+    training data from. Composes the value-oracled lm_fluency."""
+    from spanmarkerner_spark.operators.corpus_stats import ppl_buckets
+
+    return ppl_buckets(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "kg_neg_samples",
+    f"""
+    -- TransE-style corrupt-object negative sampling, hash-derived
+    WITH t AS (
+      SELECT subj, pred, obj, url, sentence_id
+      FROM read_parquet('{_KG_FIX_TOKEN}/triples.parquet')
+    ), pool AS (
+      SELECT cand, row_number() OVER (ORDER BY cand) - 1 AS idx
+      FROM (SELECT DISTINCT obj AS cand FROM t)
+    ), np AS (SELECT count(*)::BIGINT AS n_pool FROM pool
+    ), s AS (
+      SELECT t.*,
+             ('0x' || substr(md5(subj || '|' || pred || '|' || obj),
+                             1, 15))::BIGINT % n_pool AS pick,
+             n_pool
+      FROM t, np
+    )
+    SELECT s.subj, s.pred, s.obj,
+           CASE WHEN c1.cand = s.obj THEN c2.cand ELSE c1.cand END
+             AS neg_obj,
+           s.url, s.sentence_id
+    FROM s
+    JOIN pool c1 ON c1.idx = s.pick
+    JOIN pool c2 ON c2.idx = (s.pick + 1) % s.n_pool
+    """,
+)
+def kg_neg_samples(spark, sf_dir):
+    """KG-embedding training prep (operators/relations.py
+    negative_triples): deterministic hash-derived corrupt-object
+    negatives over the cached pipeline's triples — the standard
+    TransE/DistMult sampling re-expressed shuffle-free on the triple
+    side (pool lookups broadcast)."""
+    from spanmarkerner_spark.operators.relations import negative_triples
+
+    base = _kg_base(spark, sf_dir)
+    return negative_triples(
+        base["triples"].select("subj", "pred", "obj", "url", "sentence_id")
+    )
+
+
 # ---------------------------------------------------------------------
 
 
@@ -3660,6 +3902,10 @@ _PRIORITY = [
     # mutual-kNN graph
     "dedup_lines", "text_quality_classifier", "text_lm_fluency",
     "ann_sq_topk", "graph_knn_mutual", "graph_kcore",
+    # round-5 fourth-wave NEW operators (no prior driver row): URL
+    # capture resolution, corpus-derived alias prior, CCNet ppl
+    # buckets, KG negative sampling
+    "dedup_url", "kg_alias_prior", "text_ppl_buckets", "kg_neg_samples",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -3685,6 +3931,18 @@ _TAIL = [
     # multimodal_features green r1-r4, family keeps
     # multimodal_frame_stats in-window.
     "w3_topk_per_group", "dedup_exact", "multimodal_features",
+    # Round-5 fourth-wave demotions (one per query added, each green
+    # r1-r4 and each §2 operator still value-checked in-window):
+    # j2_broadcast_lookup — J2 broadcast alias lookup is the candidate
+    # stage of the in-window kg_linked_cross (and now kg_alias_prior);
+    # cluster_kmeans — k-means train/assign is value-checked in-window
+    # by dedup_semantic's learned cells (and ann_ivf_pq's codebooks);
+    # a4_label_examples — A4 top-3-examples-per-label is the
+    # label_examples section of the in-window model_card_stats;
+    # u3_spread — F2/U3 candidate-span enumeration is value-checked by
+    # every in-window kg_* mention row (word/char span identity).
+    "j2_broadcast_lookup", "cluster_kmeans", "a4_label_examples",
+    "u3_spread",
     # cc_components green r1-r3 and connected-components semantics
     # keep TWO in-window value rows (kg_triples_canonical,
     # dedup_cluster_keep); text_quality green r1-r4, quality scoring

@@ -310,3 +310,53 @@ def pmi_pairs(
             .alias("pmi_scaled"),
         )
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, §4.3): per language, rank documents by LM fluency and cut
+    the ranking into ``n_buckets`` equal-frequency buckets — CCNet's
+    defining curation operation (training corpora are then drawn
+    head-first). Composes lm_fluency (the exact-BIGINT KenLM-ppl
+    stand-in, value-oracled by text_lm_fluency) so the bucket
+    boundaries inherit its cross-engine determinism.
+
+    Output per doc: (doc_id, lang, n_bigrams, fluency_ppm, bucket)
+    with bucket in {'head','middle','tail'} (or 'b<k>' beyond 3),
+    assigned by ntile over the TOTAL order (fluency desc, doc_id
+    asc) within language — deterministic under ties by construction.
+
+    Scale design (100 TB): lm_fluency's joins are vocabulary-thin
+    (see its docstring); the bucketing adds ONE per-language window
+    sort over (doc_id, score) pairs — thin rows, never text. ntile
+    per language is the one global-ish sort this operator genuinely
+    needs (equal-frequency cuts are order statistics); at extreme
+    per-language cardinality the drop-in replacement is
+    approx-quantile thresholds (quantiles.py sketch path) at the
+    cost of exactness — documented trade, same output schema.
+    """
+    fl = lm_fluency(docs, id_col=id_col, text_col=text_col)
+    langs = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("fluency_ppm"), F.asc(id_col)
+    )
+    named = F.when(F.col("_nt") == 1, F.lit("head"))
+    if n_buckets >= 2:
+        named = named.when(F.col("_nt") == n_buckets, F.lit("tail"))
+    if n_buckets == 3:
+        named = named.when(F.col("_nt") == 2, F.lit("middle"))
+    return (
+        fl.join(langs, id_col)
+        .withColumn("_nt", F.ntile(n_buckets).over(w))
+        .withColumn(
+            "bucket",
+            named.otherwise(F.concat(F.lit("b"), F.col("_nt"))),
+        )
+        .select(id_col, "lang", "n_bigrams", "fluency_ppm", "bucket")
+    )

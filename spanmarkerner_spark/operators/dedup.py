@@ -639,3 +639,53 @@ def near_dup_keep(
             (F.col("_rn") == 1).alias("keep"),
         )
     )
+
+
+def resolve_captures(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """URL-grain capture resolution — the FIRST dedup stage of any
+    Common-Crawl-style pipeline (north-rule input shape
+    (url, warc_ts, html, text, lang)): collapse the many captures of
+    one page to its single newest capture, keyed by *canonical* URL
+    (functions/url.py: fragment/tracking-param/scheme-case/www/
+    trailing-slash normalization).
+
+    Output: (canonical_url, kept_url, kept_ts, n_captures) — one row
+    per canonical URL; ``kept_*`` identify the newest capture
+    (tie-break: max raw url, total and deterministic).
+
+    Scale design (100 TB): canonicalization is a map-side codegen
+    projection; the only shuffle is ONE keyed exchange on
+    canonical_url carrying thin (canonical_url, url, ts) rows — the
+    html/text payload should be joined back AFTER resolution by
+    (kept_url, kept_ts), so the wide columns move once for survivors
+    only, never for superseded captures. Captures-per-URL fan-out is
+    small and bounded by recrawl policy; pathological hot URLs are
+    AQE skew-split. A window (not max_by groupBy) is used because
+    n_captures and the argmax want the same single sort.
+    """
+    from spanmarkerner_spark.functions.url import with_canonical_url
+
+    canon = with_canonical_url(
+        ensure_min_parallelism(captures), url_col=url_col
+    )
+    w = Window.partitionBy("canonical_url")
+    return (
+        canon.withColumn(
+            "_rn",
+            F.row_number().over(
+                w.orderBy(F.desc(ts_col), F.desc(url_col))
+            ),
+        )
+        .withColumn("n_captures", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "canonical_url",
+            F.col(url_col).alias("kept_url"),
+            F.col(ts_col).alias("kept_ts"),
+            F.col("n_captures").cast("long").alias("n_captures"),
+        )
+    )

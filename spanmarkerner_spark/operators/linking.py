@@ -12,7 +12,7 @@ scale than a row_number window, which cannot partial-aggregate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,4 +52,61 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
             F.col("_best.link_score").alias("link_score"),
         )
         .select(*mention_cols, "entity_id", "canonical_name", "link_score")
+    )
+
+
+def alias_prior(
+    linked: DataFrame,
+    surface_col: str = "span",
+    entity_col: str = "entity_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Build the alias→entity commonness dictionary FROM the linked
+    corpus — the closing half of the entity-linking loop: the
+    broadcast alias dictionary used for candidate generation
+    (link_mentions) is, in production KG construction, *derived* from
+    link statistics over the crawl itself (anchor-text commonness
+    prior a la TagMe/WAT: p(entity | surface) = links(surface,
+    entity) / links(surface)). This operator computes that table so
+    the next pipeline epoch can bootstrap its candidate dictionary
+    from the current epoch's links.
+
+    Output per (surface, entity): (surface, entity_id, n_links,
+    n_surface, prior_ppm, rank) — prior quantized to exact BIGINT ppm
+    (n_links * scale DIV n_surface), rank by (n_links desc, entity_id
+    asc) within surface, total and deterministic.
+
+    Scale design (100 TB): the input projection is two thin columns;
+    the groupBy partial-aggregates map-side, so the exchange carries
+    (surface, entity) pairs — vocabulary-sized, zipf-thin — not
+    mention rows. The per-surface window then repartitions only the
+    aggregated dictionary (tiny relative to the corpus). Hot
+    surfaces ("apple") have bounded distinct-entity fan-out, so the
+    window partitions are small by construction.
+    """
+    m = linked.filter(F.col(entity_col).isNotNull()).select(
+        F.lower(F.col(surface_col)).alias("surface"),
+        F.col(entity_col).alias("entity_id"),
+    )
+    counts = m.groupBy("surface", "entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+    w = Window.partitionBy("surface")
+    return (
+        counts.withColumn(
+            "n_surface", F.sum("n_links").over(w).cast("long")
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(w.orderBy(F.desc("n_links"), F.asc("entity_id")))
+            .cast("long"),
+        )
+        .withColumn(
+            "prior_ppm", F.expr(f"n_links * {scale} div n_surface")
+        )
+        .select(
+            "surface", "entity_id", "n_links", "n_surface",
+            "prior_ppm", "rank",
+        )
     )

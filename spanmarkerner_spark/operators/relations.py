@@ -22,7 +22,7 @@ partitioning, and the groupBy key (url, sentence_id) is fine-grained.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,5 +128,67 @@ def extract_relations_rich(
             .alias("obj"),
             "url",
             "sentence_id",
+        )
+    )
+
+
+def negative_triples(triples: DataFrame) -> DataFrame:
+    """Deterministic negative sampling over the emitted triples — the
+    standard training-data prep for KG-embedding models (TransE /
+    DistMult corrupt-one-slot sampling, Bordes et al. 2013): each
+    (subj, pred, obj) gets a corrupted object drawn pseudo-randomly
+    from the corpus-wide object vocabulary, hash-derived so the
+    sample is reproducible and resumable (no RNG state — a re-run or
+    a partial retry emits byte-identical rows).
+
+    The draw: rank the distinct objects (idx 0..n-1 in lexical
+    order); pick = portable_hash64(subj|pred|obj) mod n; if the pick
+    collides with the true object, take (pick+1) mod n. (Degenerate
+    single-entity pools return the true object — unavoidable and
+    harmless: downstream loss terms with neg == pos are dropped.)
+
+    Output: (subj, pred, obj, neg_obj, url, sentence_id).
+
+    Scale design (100 TB): the object pool is entity-vocabulary-sized
+    — the ONE global sort here ranks that vocabulary, never triples
+    (at 10^9 entities swap row_number for zipWithIndex-style
+    per-partition offsets; same output contract). The two candidate
+    lookups are broadcast hash joins on idx (the pool broadcasts at
+    vocabulary scale; AQE falls back to a keyed join if it outgrows
+    the threshold), and the triple side never shuffles: hash, mod,
+    and the final CASE are map-side codegen.
+    """
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+
+    pool = (
+        triples.select(F.col("obj").alias("cand"))
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("cand")) - 1
+        )
+    )
+    n = pool.agg(F.count(F.lit(1)).cast("long").alias("n_pool"))
+    picked = (
+        triples.crossJoin(F.broadcast(n))
+        .withColumn(
+            "_pick",
+            portable_hash64(F.concat_ws("|", "subj", "pred", "obj"))
+            % F.col("n_pool"),
+        )
+        .withColumn("_pick2", (F.col("_pick") + 1) % F.col("n_pool"))
+    )
+    c1 = F.broadcast(pool.select(F.col("idx").alias("_pick"),
+                                 F.col("cand").alias("_c1")))
+    c2 = F.broadcast(pool.select(F.col("idx").alias("_pick2"),
+                                 F.col("cand").alias("_c2")))
+    return (
+        picked.join(c1, "_pick")
+        .join(c2, "_pick2")
+        .select(
+            "subj", "pred", "obj",
+            F.when(F.col("_c1") == F.col("obj"), F.col("_c2"))
+            .otherwise(F.col("_c1"))
+            .alias("neg_obj"),
+            "url", "sentence_id",
         )
     )

@@ -1527,3 +1527,121 @@ def test_knn_graph_mutual_one_row_per_edge(spark):
     pairs = [(r["id_a"], r["id_b"]) for r in out]
     assert len(pairs) == len(set(pairs)) == 6  # C(4,2)
     assert all(a < b for a, b in pairs)
+
+
+# ---- round-5 fourth wave: alias prior / ppl buckets / neg samples ----
+
+
+def test_alias_prior_counts_and_ranks(spark):
+    from spanmarkerner_spark.operators.linking import alias_prior
+
+    linked = spark.createDataFrame(
+        [
+            # "apple" links 3x to entity 1, 1x to entity 2
+            ("Apple", 1), ("apple", 1), ("APPLE", 1), ("apple", 2),
+            # "orange" links once; an unlinked mention is ignored
+            ("Orange", 7), ("stray", None),
+        ],
+        "span string, entity_id long",
+    )
+    rows = {
+        (r["surface"], r["entity_id"]): r
+        for r in alias_prior(linked).collect()
+    }
+    assert set(rows) == {("apple", 1), ("apple", 2), ("orange", 7)}
+    a1 = rows[("apple", 1)]
+    assert (a1["n_links"], a1["n_surface"], a1["rank"]) == (3, 4, 1)
+    assert a1["prior_ppm"] == 750000
+    a2 = rows[("apple", 2)]
+    assert (a2["n_links"], a2["prior_ppm"], a2["rank"]) == (1, 250000, 2)
+    o = rows[("orange", 7)]
+    assert (o["n_surface"], o["prior_ppm"], o["rank"]) == (1, 1000000, 1)
+
+
+def test_alias_prior_rank_tie_break_is_entity_id(spark):
+    from spanmarkerner_spark.operators.linking import alias_prior
+
+    linked = spark.createDataFrame(
+        [("x", 9), ("x", 3)], "span string, entity_id long"
+    )
+    rows = {r["entity_id"]: r["rank"] for r in alias_prior(linked).collect()}
+    assert rows == {3: 1, 9: 2}  # equal counts -> lower entity_id first
+
+
+def test_ppl_buckets_equal_frequency_and_order(spark):
+    from spanmarkerner_spark.operators.corpus_stats import ppl_buckets
+
+    # 6 docs, one language; fluency is driven by bigram frequency:
+    # docs repeating the corpus-dominant bigram score highest.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b", "en"),
+            (2, "a b a b", "en"),
+            (3, "a b c d", "en"),
+            (4, "c d e f", "en"),
+            (5, "e f g h", "en"),
+            (6, "g h i j", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in ppl_buckets(docs).collect()}
+    assert len(out) == 6
+    buckets = [out[i]["bucket"] for i in range(1, 7)]
+    from collections import Counter
+
+    assert Counter(buckets) == {"head": 2, "middle": 2, "tail": 2}
+    # ordering: bucket boundaries respect the fluency order
+    fl = sorted(out.values(), key=lambda r: (-r["fluency_ppm"], r["doc_id"]))
+    assert [r["bucket"] for r in fl] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+
+
+def test_ppl_buckets_partitions_by_lang(spark):
+    from spanmarkerner_spark.operators.corpus_stats import ppl_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en"),
+            (2, "a b c a b", "en"),
+            (3, "x y", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["bucket"] for r in ppl_buckets(docs).collect()}
+    # the lone de doc is its own head regardless of en scores
+    assert out[3] == "head"
+    assert "head" in (out[1], out[2])
+
+
+def test_negative_triples_deterministic_and_valid(spark):
+    from spanmarkerner_spark.operators.relations import negative_triples
+
+    triples = spark.createDataFrame(
+        [
+            ("e1", "works_for", "e2", "u1", 0),
+            ("e3", "works_for", "e4", "u1", 1),
+            ("e5", "acquired", "e2", "u2", 0),
+            ("e1", "acquired", "e4", "u2", 1),
+        ],
+        "subj string, pred string, obj string, url string, sentence_id long",
+    )
+    a = sorted(map(tuple, negative_triples(triples).collect()))
+    b = sorted(map(tuple, negative_triples(triples).collect()))
+    assert a == b  # hash-derived, no RNG
+    assert len(a) == 4
+    pool = {"e2", "e4"}
+    for subj, pred, obj, neg, url, sid in a:
+        assert neg in pool
+        assert neg != obj  # pool > 1 -> collision bumped to next idx
+
+
+def test_negative_triples_single_entity_pool_degenerates(spark):
+    from spanmarkerner_spark.operators.relations import negative_triples
+
+    triples = spark.createDataFrame(
+        [("a", "p", "z", "u", 0)],
+        "subj string, pred string, obj string, url string, sentence_id long",
+    )
+    rows = negative_triples(triples).collect()
+    assert rows[0]["neg_obj"] == "z"  # documented degenerate case
