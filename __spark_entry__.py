@@ -3865,6 +3865,99 @@ def kg_neg_samples(spark, sf_dir):
     )
 
 
+@_q(
+    "text_site_boilerplate",
+    f"""
+    -- host-conditioned boilerplate (CCNet/trafilatura site-template
+    -- cut): chunk flagged only within its host, >= 2 distinct docs
+    -- of that host AND >= 5% of the host's documents
+    WITH toks AS (
+      SELECT source AS host, doc_id, {_SHINGLE_TOKENS_SQL} AS t
+      FROM documents
+    ), chunks AS (
+      SELECT host, doc_id,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(t, i * 8 + 1, i * 8 + 8), ' ')), 1, 15))::BIGINT
+               AS h
+      FROM toks, UNNEST(range(len(t) // 8)) AS u(i)
+      WHERE len(t) >= 8
+    ), per AS (
+      SELECT host, doc_id, h, count(*)::BIGINT AS c_inst
+      FROM chunks GROUP BY host, doc_id, h
+    ), dc AS (
+      SELECT host, h, count(*)::BIGINT AS hdc FROM per GROUP BY host, h
+    ), hd AS (
+      SELECT source AS host, count(*)::BIGINT AS host_docs
+      FROM documents GROUP BY source
+    )
+    SELECT p.doc_id, p.host,
+           sum(c_inst)::BIGINT AS n_chunks,
+           sum(CASE WHEN d.hdc >= 2
+                     AND (d.hdc * 1000000) // hd.host_docs >= 50000
+                    THEN c_inst ELSE 0 END)::BIGINT AS n_boiler,
+           (((sum(c_inst)
+              - sum(CASE WHEN d.hdc >= 2
+                          AND (d.hdc * 1000000) // hd.host_docs >= 50000
+                         THEN c_inst ELSE 0 END)) * 1000000)
+             // sum(c_inst))::BIGINT AS kept_ppm
+    FROM per p
+    JOIN dc d ON p.host = d.host AND p.h = d.h
+    JOIN hd ON p.host = hd.host
+    GROUP BY p.doc_id, p.host
+    """,
+)
+def text_site_boilerplate(spark, sf_dir):
+    """Host-conditioned site-template boilerplate
+    (operators/corpus_stats.py site_boilerplate): per-doc chunk
+    survival under the per-HOST recurrence+fraction cut — the signal
+    global line dedup over-fires on (sf0.01: 135 chunk hashes flagged
+    globally vs 4 host-conditioned). Same chunk grain as dedup_lines
+    (shared dedup.chunk_hash_array); text bytes never shuffle."""
+    from spanmarkerner_spark.operators.corpus_stats import site_boilerplate
+
+    return site_boilerplate(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "kg_triple_conf",
+    f"""
+    -- Knowledge-Vault-style fact confidence: support, source
+    -- diversity, exact-integer lift (ppm) vs subj/obj marginals
+    WITH t AS (
+      SELECT subj, pred, obj, url
+      FROM read_parquet('{_KG_FIX_TOKEN}/triples.parquet')
+    ), g AS (
+      SELECT subj, pred, obj,
+             count(*)::BIGINT AS support,
+             count(DISTINCT url)::BIGINT AS n_urls
+      FROM t GROUP BY subj, pred, obj
+    ), s AS (
+      SELECT subj, count(*)::BIGINT AS n_subj FROM t GROUP BY subj
+    ), o AS (
+      SELECT obj, count(*)::BIGINT AS n_obj FROM t GROUP BY obj
+    ), n AS (SELECT count(*)::BIGINT AS n_total FROM t)
+    SELECT g.subj, g.pred, g.obj, g.support, g.n_urls,
+           s.n_subj, o.n_obj,
+           ((g.support * n.n_total * 1000000)
+             // (s.n_subj * o.n_obj))::BIGINT AS lift_ppm
+    FROM g JOIN s USING (subj) JOIN o USING (obj) CROSS JOIN n
+    """,
+)
+def kg_triple_conf(spark, sf_dir):
+    """Fact-level confidence aggregation (operators/relations.py
+    triple_confidence) over the cached pipeline's triples: extraction
+    support, distinct-URL source diversity, and exact-BIGINT lift
+    (ppm) against the subject/object marginals — the Knowledge-Vault
+    step that weights KG edges before anything consumes them. All
+    marginals broadcast; the fact table shuffles once."""
+    from spanmarkerner_spark.operators.relations import triple_confidence
+
+    base = _kg_base(spark, sf_dir)
+    return triple_confidence(
+        base["triples"].select("subj", "pred", "obj", "url")
+    )
+
+
 # ---------------------------------------------------------------------
 
 
@@ -3884,7 +3977,6 @@ _PRIORITY = [
     "kg_mentions", "kg_triples", "kg_triples_rich", "kg_triples_canonical",
     "kg_linked_cross", "spacy_doc_entities", "kg_mentions_context",
     "model_card_stats", "trainer_eval_metrics",
-    "ann_brute_topk",
     # Round-5 rotation (r4 verdict ask #1): the four queries that had
     # never received a driver CORRECTNESS row in any round, plus the
     # two that fell out of the 50-row window in r4, go first so every
@@ -3906,6 +3998,10 @@ _PRIORITY = [
     # capture resolution, corpus-derived alias prior, CCNet ppl
     # buckets, KG negative sampling
     "dedup_url", "kg_alias_prior", "text_ppl_buckets", "kg_neg_samples",
+    # round-5 fifth-wave NEW operators (no prior driver row):
+    # host-conditioned site boilerplate, Knowledge-Vault triple
+    # confidence
+    "text_site_boilerplate", "kg_triple_conf",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -3950,6 +4046,16 @@ _TAIL = [
     # in-window; agg_hypertable_rollup green r1/r3/r4, re-aggregation
     # semantics also in-window via agg_cube (partial+final shape) and
     # the events family keeps events_session_window.
+    # Round-5 fifth-wave demotions (one per query added, each green
+    # r1-r4, each family still value-checked in-window):
+    # ann_brute_topk — the exact-ANN baseline's values are pinned by
+    # the pytest recall-hierarchy tests and the ANN family keeps FOUR
+    # in-window value rows (ann_pq_adc, ann_ivf_pq,
+    # ann_ivf_pq_residual, ann_sq_topk); sample_split — hash-driven
+    # splitting is value-checked in-window by sample_temperature
+    # (same portable-hash assignment core), stratified twin already
+    # in tail.
+    "ann_brute_topk", "sample_split",
     "cc_components", "text_quality", "agg_hypertable_rollup",
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",

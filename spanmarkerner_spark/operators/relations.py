@@ -192,3 +192,64 @@ def negative_triples(triples: DataFrame) -> DataFrame:
             "url", "sentence_id",
         )
     )
+
+
+def triple_confidence(triples: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Corpus-level confidence scoring for extracted triples — the
+    Knowledge-Vault-style aggregation step (Dong et al. 2014) that
+    turns per-sentence extractions into a weighted graph: each
+    distinct (subj, pred, obj) fact gets its extraction support
+    (total occurrences), source diversity (distinct URLs — one page
+    asserting a fact 50 times is weaker evidence than 50 pages
+    asserting it once), and a pointwise-lift score
+    lift = p(subj,obj) / (p(subj)·p(obj)) over the triple corpus —
+    the exact-integer analogue of PMI (monotone in it), emitted as
+    BIGINT ppm: support·N·scale DIV (n_subj·n_obj). High-lift,
+    multi-source facts are the KG edges worth keeping; lift ~1e6
+    (independence) marks co-occurrence noise.
+
+    Output per distinct (subj, pred, obj):
+      (subj, pred, obj, support, n_urls, n_subj, n_obj, lift_ppm)
+
+    Overflow bound: support·N·scale must fit BIGINT — fine to
+    N ≈ 3·10^6 at worst-case support=N; at web scale (10^9+ triples)
+    divide in two steps ((support·scale DIV n_subj)·N DIV n_obj,
+    documented precision trade) or score in log-domain doubles.
+
+    Scale design (100 TB): all four aggregations are keyed on
+    entity-vocabulary-thin columns with map-side partial aggregation
+    — the exchanges carry (entity, count) pairs, never sentence rows.
+    The subj/obj marginals are vocabulary-sized and broadcast back
+    onto the fact table; N is a 1-row broadcast. The fact table
+    itself shuffles once (the groupBy on (subj,pred,obj)) and never
+    again.
+    """
+    t = triples.select("subj", "pred", "obj", "url")
+    facts = t.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("support"),
+        F.countDistinct("url").cast("long").alias("n_urls"),
+    )
+    n_subj = t.groupBy("subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj")
+    )
+    n_obj = t.groupBy("obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obj")
+    )
+    n_total = t.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        facts.join(F.broadcast(n_subj), "subj")
+        .join(F.broadcast(n_obj), "obj")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "support",
+            "n_urls",
+            "n_subj",
+            "n_obj",
+            F.expr(f"support * n_total * {scale} div (n_subj * n_obj)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )

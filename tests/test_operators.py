@@ -1645,3 +1645,121 @@ def test_negative_triples_single_entity_pool_degenerates(spark):
     )
     rows = negative_triples(triples).collect()
     assert rows[0]["neg_obj"] == "z"  # documented degenerate case
+
+
+def test_site_boilerplate_host_conditioned_vs_global(spark):
+    """A chunk shared by two docs of the SAME host is boilerplate; the
+    same chunk shared across two DIFFERENT hosts is content — the
+    distinction global line dedup cannot make."""
+    from spanmarkerner_spark.operators.corpus_stats import site_boilerplate
+    from spanmarkerner_spark.operators.dedup import line_dedup_stats
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    body = "one two three four five six seven eight"
+    cross = "iota kappa lmbda mu nu xi omicron pi"
+    docs = spark.createDataFrame(
+        [
+            # hostA: template chunk in 2/2 docs -> site boilerplate
+            ("a1", f"{tmpl} {body}", "hostA"),
+            ("a2", f"{tmpl} one two three four five six seven nine", "hostA"),
+            # cross-host repeat: in one doc of hostA-like content and
+            # one doc of hostB -> global dedup flags it, site must NOT
+            ("b1", f"{cross} {body}", "hostB"),
+            ("c1", f"{cross} one two three four five six seven ten", "hostC"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    site = {
+        r["doc_id"]: r
+        for r in site_boilerplate(
+            docs, min_docs=2, min_frac_ppm=0
+        ).collect()
+    }
+    # template dropped for both hostA docs
+    assert site["a1"]["n_boiler"] == 1 and site["a2"]["n_boiler"] == 1
+    # `body` is shared a1/b1 but across hosts -> NOT site boilerplate
+    assert site["b1"]["n_boiler"] == 0 and site["c1"]["n_boiler"] == 0
+    assert site["a1"]["n_chunks"] == 2
+    assert site["a1"]["kept_ppm"] == 500_000
+    # global line dedup DOES flag the cross-host chunk (b1 loses it)
+    glob = {
+        r["doc_id"]: r for r in line_dedup_stats(docs, min_docs=2).collect()
+    }
+    assert glob["b1"]["n_dropped"] >= 1
+
+
+def test_site_boilerplate_frac_threshold(spark):
+    """2 docs out of 40 on a host is below a 10% fraction cut even
+    though min_docs=2 is met."""
+    from spanmarkerner_spark.operators.corpus_stats import site_boilerplate
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [("d0", tmpl + " extra words here", "h")]
+    rows += [("d1", tmpl + " other words here", "h")]
+    rows += [
+        (f"f{i}", f"unique{i} filler text goes right here word{i}", "h")
+        for i in range(38)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in site_boilerplate(
+            docs, min_docs=2, min_frac_ppm=100_000
+        ).collect()
+    }
+    # 2/40 docs = 50_000 ppm < 100_000 -> kept
+    assert out["d0"]["n_boiler"] == 0
+    # lowering the cut flags it
+    out2 = {
+        r["doc_id"]: r
+        for r in site_boilerplate(
+            docs, min_docs=2, min_frac_ppm=50_000
+        ).collect()
+    }
+    assert out2["d0"]["n_boiler"] == 1
+
+
+def test_triple_confidence_support_and_lift(spark):
+    from spanmarkerner_spark.operators.relations import triple_confidence
+
+    # N=4 triples: (s1,p,o1) x2 from 2 urls; (s1,p,o2) x1; (s2,p,o1) x1
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p", "o1", "u1"),
+            ("s1", "p", "o1", "u2"),
+            ("s1", "p", "o2", "u1"),
+            ("s2", "p", "o1", "u3"),
+        ],
+        ["subj", "pred", "obj", "url"],
+    )
+    out = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in triple_confidence(triples).collect()
+    }
+    a = out[("s1", "p", "o1")]
+    assert a["support"] == 2 and a["n_urls"] == 2
+    assert a["n_subj"] == 3 and a["n_obj"] == 3
+    # lift = 2*4/(3*3) = 0.888... -> 888888 ppm
+    assert a["lift_ppm"] == 888_888
+    b = out[("s2", "p", "o1")]
+    # lift = 1*4/(1*3) = 1.333... -> 1333333 ppm (above independence)
+    assert b["lift_ppm"] == 1_333_333
+    assert b["n_urls"] == 1
+    # marginals sum: total support equals N
+    assert sum(r["support"] for r in out.values()) == 4
+
+
+def test_triple_confidence_repeated_same_url_low_diversity(spark):
+    """One page asserting a fact 3 times: support 3 but n_urls 1."""
+    from spanmarkerner_spark.operators.relations import triple_confidence
+
+    triples = spark.createDataFrame(
+        [("s", "p", "o", "u1")] * 3 + [("s", "q", "x", "u2")],
+        ["subj", "pred", "obj", "url"],
+    )
+    out = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in triple_confidence(triples).collect()
+    }
+    assert out[("s", "p", "o")]["support"] == 3
+    assert out[("s", "p", "o")]["n_urls"] == 1
