@@ -3919,6 +3919,184 @@ def text_site_boilerplate(spark, sf_dir):
 
 
 @_q(
+    "kg_rel_signatures",
+    f"""
+    -- relation type-signature induction (NELL category-relation
+    -- coupling): per-predicate (subj_label, obj_label) distribution
+    WITH lc AS (
+      SELECT url, sentence_id, word_start_index, entity_id
+      FROM read_parquet('{_KG_FIX_TOKEN}/linked_cross.parquet')
+      WHERE entity_id IS NOT NULL
+    ), m AS (
+      SELECT url, sentence_id, word_start_index, label
+      FROM read_parquet('{_KG_FIX_TOKEN}/mentions.parquet')
+    ), el AS (
+      SELECT entity_id, min(label) AS label
+      FROM lc JOIN m USING (url, sentence_id, word_start_index)
+      GROUP BY entity_id
+    ), t AS (
+      SELECT subj, pred, obj
+      FROM read_parquet('{_KG_FIX_TOKEN}/triples.parquet')
+    ), sig AS (
+      SELECT pred, sl.label AS subj_label, ol.label AS obj_label,
+             count(*)::BIGINT AS n
+      FROM t
+      JOIN el sl ON t.subj = sl.entity_id
+      JOIN el ol ON t.obj = ol.entity_id
+      GROUP BY pred, sl.label, ol.label
+    ), tot AS (
+      SELECT pred, sum(n)::BIGINT AS n_pred FROM sig GROUP BY pred
+    )
+    SELECT sig.pred, sig.subj_label, sig.obj_label, sig.n, tot.n_pred,
+           ((sig.n * 1000000) // tot.n_pred)::BIGINT AS share_ppm
+    FROM sig JOIN tot ON sig.pred = tot.pred
+    """,
+)
+def kg_rel_signatures(spark, sf_dir):
+    """Relation schema induction (operators/relations.py
+    relation_signatures): per-predicate type-signature distribution
+    over (subj_label, obj_label), exact-BIGINT share ppm. Entity
+    labels derive from the linked mentions (min(label) per entity);
+    both label legs broadcast, the triple table never shuffles for
+    the joins."""
+    from spanmarkerner_spark.operators.relations import relation_signatures
+    from spanmarkerner_spark.operators.rerank import link_mentions_cross
+    from spanmarkerner_spark.pipeline import alias_dict_df, default_config
+
+    base = _kg_base(spark, sf_dir)
+    linked = link_mentions_cross(
+        base["mentions"], alias_dict_df(spark), default_config()
+    )
+    ent_labels = (
+        linked.filter(F.col("entity_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(F.min("label").alias("label"))
+    )
+    return relation_signatures(
+        base["triples"].select("subj", "pred", "obj"), ent_labels
+    )
+
+
+@_q(
+    "text_bpe_pairs",
+    f"""
+    -- first BPE merge iteration: corpus-weighted adjacent char-pair
+    -- counts; argmax is the first merge rule (Sennrich 2016)
+    WITH toks AS (
+      SELECT {_SHINGLE_TOKENS_SQL} AS t FROM documents
+    ), words AS (
+      SELECT unnest(t) AS w FROM toks
+    ), wf AS (
+      SELECT w, count(*)::BIGINT AS wf FROM words GROUP BY w
+    ), pairs AS (
+      SELECT substring(w, i + 1, 2) AS pair, wf, w
+      FROM wf, UNNEST(range(length(w) - 1)) AS u(i)
+      WHERE length(w) >= 2
+    ), agg AS (
+      SELECT pair,
+             count(DISTINCT w)::BIGINT AS n_words,
+             sum(wf)::BIGINT AS total_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_words, total_count, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY total_count DESC, pair ASC)
+                  ::BIGINT AS rank
+      FROM agg
+    ) WHERE rank <= 50
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """Tokenizer-training prep (operators/corpus_stats.py
+    bpe_pair_counts): the first BPE merge iteration — corpus-weighted
+    adjacent character-pair counts, top-50 by count. One corpus-scale
+    exchange (the word count); everything downstream is
+    vocabulary-sized."""
+    from spanmarkerner_spark.operators.corpus_stats import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "kg_coref_pronouns",
+    f"""
+    -- coreference-lite: each (hash-synthesized) pronoun resolves to
+    -- the nearest PRECEDING linked mention in its document (Stanford
+    -- dcoref pronominal-sieve semantics, one running window)
+    WITH m AS (
+      SELECT url, sentence_id::BIGINT AS sent,
+             word_start_index::BIGINT AS pos,
+             entity_id::BIGINT AS ent, span, 0 AS is_pron
+      FROM read_parquet('{_KG_FIX_TOKEN}/linked_cross.parquet')
+      WHERE entity_id IS NOT NULL
+    ), sents AS (
+      SELECT DISTINCT url, sentence_id::BIGINT AS sent
+      FROM read_parquet('{_KG_FIX_TOKEN}/linked_cross.parquet')
+    ), p AS (
+      SELECT url, sent, (h % 10)::BIGINT AS pos,
+             NULL::BIGINT AS ent, NULL::VARCHAR AS span, 1 AS is_pron
+      FROM (SELECT url, sent,
+                   ('0x' || substr(md5(url || '|' || sent::VARCHAR),
+                                   1, 15))::BIGINT AS h
+            FROM sents)
+      WHERE h % 3 = 0
+    ), u AS (SELECT * FROM m UNION ALL SELECT * FROM p
+    ), r AS (
+      SELECT url, sent, pos, is_pron,
+             last_value(ent IGNORE NULLS) OVER w AS a_ent,
+             last_value(span IGNORE NULLS) OVER w AS a_span,
+             last_value(CASE WHEN ent IS NOT NULL THEN sent END
+                        IGNORE NULLS) OVER w AS a_sent
+      FROM u
+      WINDOW w AS (PARTITION BY url ORDER BY sent, pos, is_pron
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT url, sent AS sentence_id, pos, a_ent AS entity_id,
+           a_span AS antecedent_span, a_sent AS antecedent_sent,
+           (sent - a_sent)::BIGINT AS sent_distance
+    FROM r WHERE is_pron = 1 AND a_ent IS NOT NULL
+    """,
+)
+def kg_coref_pronouns(spark, sf_dir):
+    """Coreference-lite pronoun resolution (operators/coref.py
+    resolve_pronouns): nearest-preceding-mention antecedents via ONE
+    last(ignorenulls) running window per document — no join, no
+    iteration. Pronoun positions are hash-synthesized from the
+    mention fixture (the corpus has no natural pronouns — same
+    deterministic-synthesis precedent as dedup_url); the resolution
+    logic itself is the production operator. Cross-sentence
+    resolution is exercised (sent_distance 0/1/2 at sf0.01) and
+    document-initial pronouns drop."""
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+    from spanmarkerner_spark.operators.coref import resolve_pronouns
+    from spanmarkerner_spark.operators.rerank import link_mentions_cross
+    from spanmarkerner_spark.pipeline import alias_dict_df, default_config
+
+    base = _kg_base(spark, sf_dir)
+    linked = link_mentions_cross(
+        base["mentions"], alias_dict_df(spark), default_config()
+    ).select(
+        "url",
+        "sentence_id",
+        F.col("word_start_index").alias("pos"),
+        "span",
+        "entity_id",
+    )
+    h = portable_hash64(
+        F.concat(F.col("url"), F.lit("|"), F.col("sentence_id").cast("string"))
+    )
+    pron = (
+        linked.select("url", "sentence_id")
+        .distinct()
+        .withColumn("_h", h)
+        .filter(F.col("_h") % 3 == 0)
+        .select("url", "sentence_id", (F.col("_h") % 10).alias("pos"))
+    )
+    return resolve_pronouns(
+        linked.filter(F.col("entity_id").isNotNull()), pron
+    )
+
+
+@_q(
     "kg_triple_conf",
     f"""
     -- Knowledge-Vault-style fact confidence: support, source
@@ -4002,6 +4180,10 @@ _PRIORITY = [
     # host-conditioned site boilerplate, Knowledge-Vault triple
     # confidence
     "text_site_boilerplate", "kg_triple_conf",
+    # round-5 sixth-wave NEW operators (no prior driver row):
+    # relation type-signature induction, BPE pair counts,
+    # coreference-lite pronoun resolution
+    "kg_rel_signatures", "text_bpe_pairs", "kg_coref_pronouns",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
@@ -4056,6 +4238,19 @@ _TAIL = [
     # (same portable-hash assignment core), stratified twin already
     # in tail.
     "ann_brute_topk", "sample_split",
+    # Round-5 sixth-wave demotions (one per query added, each green
+    # r1/r2-r4, each §2 operator still value-checked in-window):
+    # a3_stats — A3's min / exact-int-sum mean / max aggregation shape
+    # is computed verbatim by the in-window model_card_stats
+    # (model_card.py:58-60, two stat sections); f6_content_hash — the
+    # portable_hash64-over-normalized-text core is value-checked
+    # in-window by dedup_url (portable_hash64 capture keys) and
+    # dedup_lines/text_site_boilerplate (shared chunk_hash_array);
+    # setop_except — EXCEPT-as-anti-join semantics are value-checked
+    # in-window by decontam_flagged's anti/semi join and
+    # curation_e2e's drop dispositions, and the lineage resume
+    # anti-join is pytest-pinned (test_streaming_lineage.py).
+    "a3_stats", "f6_content_hash", "setop_except",
     "cc_components", "text_quality", "agg_hypertable_rollup",
     "events_sessionize", "ann_ivf_topk", "dedup_simhash",
     "text_lang_id", "text_repetition", "range_join_events",

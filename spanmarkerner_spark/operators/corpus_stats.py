@@ -442,3 +442,64 @@ def site_boilerplate(
             .alias("kept_ppm"),
         )
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Tokenizer-training prep: the first merge iteration of BPE
+    (Sennrich et al. 2016) over the corpus — corpus-weighted adjacent
+    character-pair frequencies, whose argmax is the first merge rule.
+    Training a tokenizer on the data it will serve is standard LLM
+    pipeline practice, and the count table this emits is the whole
+    interface between the corpus and the (driver-side, vocab-sized)
+    merge loop: iteration k+1 re-runs the same aggregation over the
+    re-segmented vocabulary, so ONE oracle-checked iteration pins the
+    distributed part of the algorithm. (The end-of-word marker is
+    omitted — interior pairs only, a documented simplification that
+    keeps the pair a fixed-width substring in both engines.)
+
+    Output: top_k pairs by corpus-weighted count —
+      (pair, n_words, total_count, rank)
+    n_words = distinct vocabulary words containing the pair;
+    total_count = sum over words of (occurrences-in-word x word
+    frequency); rank = row_number by (total_count desc, pair asc).
+
+    Scale design (100 TB): the ONLY corpus-scale exchange is the word
+    count (map-side partial agg, zipf-thin output). Everything after
+    runs on the VOCABULARY: the pair explode is ~word-length rows per
+    distinct word, the pair agg is alphabet^2-sized, and the final
+    rank orders a table of a few thousand rows — the classic
+    corpus-to-vocabulary reduction that makes distributed BPE cheap.
+    """
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " ")),
+                " ",
+            )
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    pairs = wf.select(
+        "w",
+        "wf",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.countDistinct("w").cast("long").alias("n_words"),
+        F.sum("wf").cast("long").alias("total_count"),
+    )
+    w_rank = Window.orderBy(F.desc("total_count"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("pair", "n_words", "total_count", "rank")
+    )

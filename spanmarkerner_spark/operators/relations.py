@@ -253,3 +253,60 @@ def triple_confidence(triples: DataFrame, scale: int = 1_000_000) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+def relation_signatures(
+    triples: DataFrame, entity_labels: DataFrame
+) -> DataFrame:
+    """Relation type-signature induction — the schema-induction step
+    of open KG construction (NELL's category-relation coupling,
+    Carlson et al. 2010): for each predicate, the distribution over
+    (subject type, object type) pairs. A predicate whose mass
+    concentrates on one signature ("acquired": org->org) is
+    schema-consistent; mass off the dominant signature localizes
+    extraction errors, and the induced signature set is the type
+    constraint later extraction epochs filter against.
+
+    entity_labels: (entity_id, label) — one row per entity (derive
+    from linked mentions; enforce uniqueness upstream).
+
+    Output per (pred, subj_label, obj_label):
+      (pred, subj_label, obj_label, n, n_pred, share_ppm)
+    share_ppm = exact BIGINT ppm of the predicate's triples carrying
+    this signature.
+
+    Scale design (100 TB): entity_labels is entity-vocabulary-sized
+    and broadcast twice (subj leg, obj leg) — the triple table never
+    shuffles for the joins; the signature groupBy exchanges
+    (pred, label, label) triplets (predicate-vocabulary-thin, heavy
+    map-side partial agg), and the per-pred totals re-aggregate from
+    the signature table itself (predicate-vocabulary-sized), not from
+    the triples a second time.
+    """
+    sl = entity_labels.select(
+        F.col("entity_id").alias("subj"), F.col("label").alias("subj_label")
+    )
+    ol = entity_labels.select(
+        F.col("entity_id").alias("obj"), F.col("label").alias("obj_label")
+    )
+    sig = (
+        triples.select("subj", "pred", "obj")
+        .join(F.broadcast(sl), "subj")
+        .join(F.broadcast(ol), "obj")
+        .groupBy("pred", "subj_label", "obj_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = sig.groupBy("pred").agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    return (
+        sig.join(F.broadcast(totals), "pred")
+        .select(
+            "pred",
+            "subj_label",
+            "obj_label",
+            "n",
+            "n_pred",
+            F.expr("n * 1000000 div n_pred").cast("long").alias("share_ppm"),
+        )
+    )

@@ -1763,3 +1763,76 @@ def test_triple_confidence_repeated_same_url_low_diversity(spark):
     }
     assert out[("s", "p", "o")]["support"] == 3
     assert out[("s", "p", "o")]["n_urls"] == 1
+
+
+def test_resolve_pronouns_nearest_preceding(spark):
+    from spanmarkerner_spark.operators.coref import resolve_pronouns
+
+    mentions = spark.createDataFrame(
+        [
+            ("d1", 0, 2, 10, "acme"),
+            ("d1", 0, 5, 20, "globex"),
+            ("d1", 2, 1, 30, "initech"),
+            ("d2", 0, 3, 40, "umbrella"),
+        ],
+        ["url", "sentence_id", "pos", "entity_id", "span"],
+    )
+    pronouns = spark.createDataFrame(
+        [
+            ("d1", 1, 0),   # -> globex (last mention of sent 0)
+            ("d1", 0, 3),   # mid-sentence -> acme (pos 2), not globex (pos 5)
+            ("d1", 3, 4),   # -> initech, distance 1
+            ("d2", 0, 0),   # before any mention -> dropped
+            ("d3", 0, 1),   # doc with no mentions -> dropped
+        ],
+        ["url", "sentence_id", "pos"],
+    )
+    out = {
+        (r["url"], r["sentence_id"], r["pos"]): r
+        for r in resolve_pronouns(mentions, pronouns).collect()
+    }
+    assert len(out) == 3
+    assert out[("d1", 1, 0)]["entity_id"] == 20
+    assert out[("d1", 1, 0)]["antecedent_span"] == "globex"
+    assert out[("d1", 1, 0)]["sent_distance"] == 1
+    assert out[("d1", 0, 3)]["entity_id"] == 10
+    assert out[("d1", 0, 3)]["sent_distance"] == 0
+    assert out[("d1", 3, 4)]["entity_id"] == 30
+    assert out[("d1", 3, 4)]["sent_distance"] == 1
+    assert ("d2", 0, 0) not in out and ("d3", 0, 1) not in out
+
+
+def test_resolve_pronouns_max_distance_cut(spark):
+    from spanmarkerner_spark.operators.coref import resolve_pronouns
+
+    mentions = spark.createDataFrame(
+        [("d", 0, 0, 1, "acme")],
+        ["url", "sentence_id", "pos", "entity_id", "span"],
+    )
+    pronouns = spark.createDataFrame(
+        [("d", 5, 0)], ["url", "sentence_id", "pos"]
+    )
+    assert resolve_pronouns(mentions, pronouns).count() == 1
+    assert (
+        resolve_pronouns(mentions, pronouns, max_sent_distance=3).count() == 0
+    )
+
+
+def test_bpe_pair_counts_weighted_and_ranked(spark):
+    from spanmarkerner_spark.operators.corpus_stats import bpe_pair_counts
+
+    # word freqs: "abab" wf=3 (2 'ab' pairs + 1 'ba' each), "ab" wf=1
+    docs = spark.createDataFrame(
+        [("1", "abab abab"), ("2", "abab"), ("3", "ab")],
+        ["doc_id", "text"],
+    )
+    out = {r["pair"]: r for r in bpe_pair_counts(docs).collect()}
+    # 'abab' appears 3 times in corpus, contributes 2 'ab' per occurrence
+    assert out["ab"]["total_count"] == 3 * 2 + 1 * 1
+    assert out["ab"]["n_words"] == 2
+    assert out["ba"]["total_count"] == 3
+    assert out["ba"]["n_words"] == 1
+    assert out["ab"]["rank"] == 1
+    # single-char words contribute nothing
+    docs2 = spark.createDataFrame([("1", "a b c")], ["doc_id", "text"])
+    assert bpe_pair_counts(docs2).count() == 0
