@@ -503,3 +503,159 @@ def bpe_pair_counts(
         .filter(F.col("rank") <= top_k)
         .select("pair", "n_words", "total_count", "rank")
     )
+
+
+#: Gopher rule stopword probe set (Rae et al. 2021 §A1.1 use a
+#: similar tiny function-word list; presence of >= `stop_min`
+#: DISTINCT members is the "natural language" check).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl_ppm: int = 3_000_000,
+    max_mean_wl_ppm: int = 10_000_000,
+    stop_min: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1) — the
+    OTHER standard curation cut beside classifier scoring
+    (quality_classifier_scores): hard rules, each independently
+    reported so downstream can audit which rule fired. Implemented
+    rules (the subset meaningful on whitespace-token corpora;
+    symbol-ratio and bullet-line rules need the raw-line grain and
+    live with the chunk operators):
+
+      flag_word_count   min_words <= n_words <= max_words
+      flag_mean_wl      mean word length in [3, 10] chars — computed
+                        as exact BIGINT ppm (sum-of-word-lengths *
+                        1e6 div n_words), bit-identical cross-engine
+      flag_stopwords    >= stop_min DISTINCT members of
+                        GOPHER_STOPWORDS present
+      pass_gopher       all of the above
+
+    Output: (doc_id, n_words, mean_wl_ppm, n_stop_distinct,
+    flag_word_count, flag_mean_wl, flag_stopwords, pass_gopher) with
+    flags as 0/1 BIGINT.
+
+    Scale design (100 TB): zero shuffles — every column is a pure
+    per-row codegen expression over one pruned scan of (id, text);
+    the stopword probe is a bounded array intersection against a
+    9-element literal, not a join.
+    """
+    toks = tokens_ws(text_col)
+    n_words = F.size(toks).cast("long")
+    sum_wl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl_ppm = (
+        F.when(F.col("_nw") > 0, F.expr("_swl * 1000000 div _nw"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), stops)
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_words.alias("_nw"),
+        sum_wl.cast("long").alias("_swl"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    out = base.select(
+        id_col,
+        F.col("_nw").alias("n_words"),
+        mean_wl_ppm.alias("mean_wl_ppm"),
+        "n_stop_distinct",
+    )
+    f_wc = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ).cast("long")
+    f_wl = (
+        (F.col("mean_wl_ppm") >= min_mean_wl_ppm)
+        & (F.col("mean_wl_ppm") <= max_mean_wl_ppm)
+    ).cast("long")
+    f_st = (F.col("n_stop_distinct") >= stop_min).cast("long")
+    return (
+        out.withColumn("flag_word_count", f_wc)
+        .withColumn("flag_mean_wl", f_wl)
+        .withColumn("flag_stopwords", f_st)
+        .withColumn(
+            "pass_gopher",
+            (
+                F.col("flag_word_count")
+                * F.col("flag_mean_wl")
+                * F.col("flag_stopwords")
+            ).cast("long"),
+        )
+    )
+
+
+def source_rollup(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source curation dashboard rollup — the domain-grain
+    aggregation CCNet-style pipelines publish per crawl (docs, token
+    mass, rule pass-rate, mean word length per domain) to pick
+    per-source caps and spot degenerate feeds before training.
+
+    Composes gopher_quality_flags at the document grain, then rolls
+    up to the source:
+      (source, n_docs, n_pass, pass_ppm, sum_words, mean_wl_ppm)
+    pass_ppm / mean_wl_ppm exact BIGINT (single floor division over
+    exact integer sums — bit-identical cross-engine).
+
+    Scale design (100 TB): flags are zero-shuffle per-row
+    expressions; the ONLY exchange is the source groupBy —
+    source-vocabulary-thin, map-side-combinable. The text column
+    never shuffles. The corpus-wide mean re-derives from summed
+    integer word lengths, not from averaging per-doc ratios (which
+    would weight short docs equally and round twice).
+    """
+    flags = gopher_quality_flags(docs, text_col=text_col, id_col=id_col)
+    src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
+    # re-derive the summed word length exactly: mean_wl_ppm * n is
+    # lossy post-floor, so recompute swl from the text like the flag
+    # operator does (same expression, fused by codegen when composed)
+    toks = tokens_ws(text_col)
+    swl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    per_doc = flags.join(
+        docs.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            swl.cast("long").alias("_swl"),
+        ),
+        id_col,
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pass_gopher").cast("long").alias("n_pass"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+            F.sum("_swl").cast("long").alias("_sswl"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            F.expr("n_pass * 1000000 div n_docs").cast("long").alias("pass_ppm"),
+            "sum_words",
+            F.when(
+                F.col("sum_words") > 0,
+                F.expr("_sswl * 1000000 div sum_words"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_wl_ppm"),
+        )
+    )

@@ -267,3 +267,69 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(F.col("src").alias("node"), "degree")
+
+
+def hits(edges: DataFrame, iters: int = 2, scale: int = 10**6) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — the OTHER classic
+    link-centrality pair beside PageRank: an authority is pointed at
+    by good hubs, a hub points at good authorities. On host graphs
+    the authority score is the source-quality prior curation wants
+    (directories/aggregators score hub-high, canonical sources
+    authority-high — PageRank conflates the two roles).
+
+    Same integer-quantization contract as pagerank(): scores are
+    BIGINT shares of `scale`; each half-step sums the counterpart
+    score over edges then renormalizes with floor division
+    (x * scale div total), so a fixed `iters` unrolls bit-exactly in
+    integer SQL (the DuckDB oracle mirrors the half-steps as CTE
+    pairs). Overflow bound: raw sums stay <= scale * n_nodes, so
+    raw * scale needs scale^2 * n_nodes < 2^63 — at the default ppm
+    scale that allows ~9 * 10^6 nodes; raise mass precision only with
+    a wider sum type.
+
+    edges: directed (src, dst), self-loop-free, deduplicated.
+    Returns (node, authority, hub) — 0 for roles a node never plays
+    (pure hubs have authority 0, pure authorities hub 0).
+
+    Scale design (10^10-edge graph): edges are static across
+    iterations — persist partitioned by the join key once; each
+    half-step moves only the thin (node, score) table plus one
+    map-side-combinable keyed sum, and the normalizer is a single
+    broadcast scalar. Per-iteration bytes ~ nodes, not edges.
+    """
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.union(dst_nodes).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    h = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"CAST({scale} div _n AS LONG)").alias("s")
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(h.select(F.col("node").alias("src"), "s"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        ta = a_raw.agg(F.sum("raw").alias("_t"))
+        a = a_raw.crossJoin(F.broadcast(ta)).select(
+            "node", F.expr(f"CAST(raw * {scale} div _t AS LONG)").alias("s")
+        )
+        h_raw = (
+            edges.join(a.select(F.col("node").alias("dst"), "s"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        th = h_raw.agg(F.sum("raw").alias("_t"))
+        h = h_raw.crossJoin(F.broadcast(th)).select(
+            "node", F.expr(f"CAST(raw * {scale} div _t AS LONG)").alias("s")
+        )
+    return (
+        nodes.join(a.withColumnRenamed("s", "authority"), "node", "left")
+        .join(h.withColumnRenamed("s", "hub"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+        )
+    )

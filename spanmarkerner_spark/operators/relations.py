@@ -310,3 +310,135 @@ def relation_signatures(
             F.expr("n * 1000000 div n_pred").cast("long").alias("share_ppm"),
         )
     )
+
+
+def fact_temporal_windows(
+    triples: DataFrame,
+    page_ts: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Fact observation windows — the temporal-KG scoping step
+    (YAGO2-style fact timestamping, Hoffart et al. 2011: every fact
+    carries the time span of its supporting observations). Web
+    corpora are crawled repeatedly; the first/last time a triple is
+    observed bounds its validity window, and observation recency is
+    the freshness signal fact-ranking consumers (and re-crawl
+    schedulers) read.
+
+    triples: (subj, pred, obj, url) extraction output;
+    page_ts: (url, warc_ts) — pages with a NULL ts are dropped
+    (timestamp-less sources contribute no temporal evidence).
+
+    Output per (subj, pred, obj):
+      first_seen_epoch / last_seen_epoch — BIGINT unix seconds
+      (bit-identical cross-engine under the UTC session pin),
+      n_obs — timestamped supporting extractions,
+      n_urls — distinct timestamped source pages,
+      span_seconds — last - first (0 for single-snapshot facts).
+
+    Scale design (100 TB): page_ts is projected to the thin
+    (url, ts) pair before the join — the html/text bytes never move;
+    the join shuffles on the url key both sides already share with
+    every per-doc pipeline stage, and the triple groupBy is
+    map-side-combinable with a key space orders of magnitude smaller
+    than the extraction table. No broadcast is forced: at real scale
+    BOTH sides are large, and AQE picks the strategy (and splits skew)
+    from observed sizes.
+    """
+    ts = page_ts.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("_ts"),
+    ).filter(F.col("_ts").isNotNull())
+    joined = triples.select("subj", "pred", "obj", F.col(url_col).alias("url")).join(
+        ts, "url"
+    )
+    epoch = F.unix_timestamp("_ts").cast("long")
+    return (
+        joined.select("subj", "pred", "obj", "url", epoch.alias("_es"))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("_es").alias("first_seen_epoch"),
+            F.max("_es").alias("last_seen_epoch"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.countDistinct("url").cast("long").alias("n_urls"),
+        )
+        .withColumn(
+            "span_seconds",
+            (F.col("last_seen_epoch") - F.col("first_seen_epoch")).cast("long"),
+        )
+    )
+
+
+def functional_violations(
+    triples: DataFrame,
+    min_subjects: int = 3,
+    func_threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """Functional-predicate violation detection — the KG consistency
+    check of Knowledge-Vault-style error localization (Dong et al.
+    2014): a predicate that maps almost every subject to exactly ONE
+    object ("born_in", "ceo_of") is functional, and a subject holding
+    several objects under it localizes extraction errors (or genuine
+    temporal change) better than any global score.
+
+    Per predicate, functionality_ppm = subjects-with-exactly-one-
+    distinct-object * 1e6 div subjects (exact BIGINT). Predicates
+    with >= min_subjects subjects and functionality above
+    func_threshold_ppm are treated as functional; the output is their
+    VIOLATING (subj, pred) pairs:
+
+      (pred, subj, n_objs, n_subj, functionality_ppm)
+
+    Scale design (100 TB): the per-(pred,subj) distinct-object count
+    is one map-side-combinable groupBy on a key finer than the
+    predicate (no hot predicate pins a reducer); the per-pred
+    functionality re-aggregates THAT table (predicate-vocabulary-
+    sized), and joins back as a broadcast — the fact table shuffles
+    exactly once.
+    """
+    ps = (
+        triples.select("subj", "pred", "obj")
+        .groupBy("pred", "subj")
+        .agg(F.countDistinct("obj").cast("long").alias("n_objs"))
+    )
+    func = ps.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj"),
+        F.sum(F.when(F.col("n_objs") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single"),
+    )
+    func = func.withColumn(
+        "functionality_ppm",
+        F.expr("n_single * 1000000 div n_subj").cast("long"),
+    ).filter(
+        (F.col("n_subj") >= min_subjects)
+        & (F.col("functionality_ppm") >= func_threshold_ppm)
+    )
+    return (
+        ps.filter(F.col("n_objs") >= 2)
+        .join(F.broadcast(func), "pred")
+        .select("pred", "subj", "n_objs", "n_subj", "functionality_ppm")
+    )
+
+
+def fact_snapshot_status(
+    windows: DataFrame, cut_epoch: int
+) -> DataFrame:
+    """Snapshot diff over fact observation windows — the KG
+    freshness/delta classification downstream re-crawl and
+    incremental-update jobs consume: facts first observed after the
+    cut are 'new' (candidate additions), facts last observed before
+    it are 'stale' (candidate retractions / re-verification queue),
+    facts seen on both sides are 'stable'.
+
+    windows: fact_temporal_windows() output. Pure per-row map — zero
+    shuffles on top of the windows aggregation; composing the two is
+    still the single triple-grain groupBy.
+    """
+    return windows.withColumn(
+        "status",
+        F.when(F.col("first_seen_epoch") >= cut_epoch, "new")
+        .when(F.col("last_seen_epoch") < cut_epoch, "stale")
+        .otherwise("stable"),
+    )

@@ -1836,3 +1836,245 @@ def test_bpe_pair_counts_weighted_and_ranked(spark):
     # single-char words contribute nothing
     docs2 = spark.createDataFrame([("1", "a b c")], ["doc_id", "text"])
     assert bpe_pair_counts(docs2).count() == 0
+
+
+def test_extract_links_normalization_and_host_graph(spark):
+    from spanmarkerner_spark.operators.linkgraph import (
+        extract_links,
+        host_degrees,
+        host_graph,
+    )
+
+    html_a = (
+        '<html><body><nav>'
+        '<a href="https://b.org/x">to b</a>'
+        '<a href="https://b.org/x">again</a>'
+        '<a href="/local/1#frag">local</a>'
+        '<a href="mailto:x@y.org">mail</a>'
+        '<a href="rel/path">rel</a>'
+        '</nav><p>t</p></body></html>'
+    ).encode()
+    html_c = '<a href="https://b.org/x">c to b</a>'.encode()
+    from spanmarkerner_spark import schemas
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/p1", None, html_a, "t", "en"),
+            ("https://c.org/p1", None, html_c, "t", "en"),
+        ],
+        schema=schemas.PAGES,
+    )
+    links = extract_links(pages).collect()
+    by_src = {}
+    for r in links:
+        by_src.setdefault(r["src_url"], []).append((r["dst_url"], r["anchor"]))
+    # mailto + path-relative dropped; fragment stripped; root-relative
+    # resolved against the source scheme+host
+    assert sorted(by_src["https://a.org/p1"]) == [
+        ("https://a.org/local/1", "local"),
+        ("https://b.org/x", "again"),
+        ("https://b.org/x", "to b"),
+    ]
+    edges = host_graph(extract_links(pages))
+    em = {(r["src_host"], r["dst_host"]): r for r in edges.collect()}
+    assert em[("a.org", "b.org")]["n_links"] == 2
+    assert em[("a.org", "b.org")]["n_src_pages"] == 1
+    assert em[("c.org", "b.org")]["n_links"] == 1
+    deg = {r["host"]: r for r in host_degrees(edges).collect()}
+    # b.org appears only as a target: host-grain dangling
+    assert deg["b.org"]["out_links"] == 0 and deg["b.org"]["in_links"] == 3
+    assert deg["b.org"]["in_hosts"] == 2
+    assert deg["a.org"]["out_links"] == 3 and deg["a.org"]["in_links"] == 1
+
+
+def test_entity_salience_position_frequency_topk(spark):
+    from spanmarkerner_spark.operators.salience import entity_salience
+
+    m = spark.createDataFrame(
+        # d1: "late" appears 3x but first at pos 90; "early" once at 0
+        [("d1", "early", 0), ("d1", "late", 90), ("d1", "late", 95),
+         ("d1", "late", 99), ("d1", "mid", 40), ("d2", "only", 5)],
+        ["url", "span", "doc_word_start"],
+    )
+    out = {(r["url"], r["entity"]): r
+           for r in entity_salience(m, top_k=2).collect()}
+    # early: 1e6 div 10 = 100000; late: 3e6 div 100 = 30000; mid:
+    # 1e6 div 50 = 20000 -> top-2 keeps early, late; mid cut
+    assert out[("d1", "early")]["salience_ppm"] == 100000
+    assert out[("d1", "early")]["rank"] == 1
+    assert out[("d1", "late")]["salience_ppm"] == 30000
+    assert out[("d1", "late")]["n_mentions"] == 3
+    assert ("d1", "mid") not in out
+    assert out[("d2", "only")]["rank"] == 1
+
+
+def test_fact_temporal_windows(spark):
+    from datetime import datetime
+
+    from spanmarkerner_spark.operators.relations import (
+        fact_temporal_windows,
+    )
+
+    t = spark.createDataFrame(
+        [("s", "p", "o", "u1"), ("s", "p", "o", "u2"),
+         ("s", "p", "o", "u2"), ("a", "b", "c", "u3")],
+        ["subj", "pred", "obj", "url"],
+    )
+    pages = spark.createDataFrame(
+        [("u1", datetime(2026, 1, 1, 0, 0, 0)),
+         ("u2", datetime(2026, 1, 3, 0, 0, 0)),
+         ("u3", None)],
+        ["url", "warc_ts"],
+    )
+    out = {(r["subj"], r["pred"], r["obj"]): r
+           for r in fact_temporal_windows(t, pages).collect()}
+    # u3 has no timestamp -> fact (a,b,c) contributes no temporal row
+    assert ("a", "b", "c") not in out
+    r = out[("s", "p", "o")]
+    assert r["span_seconds"] == 2 * 86400
+    assert r["n_obs"] == 3 and r["n_urls"] == 2
+    assert r["last_seen_epoch"] - r["first_seen_epoch"] == r["span_seconds"]
+
+
+def test_functional_violations_thresholds(spark):
+    from spanmarkerner_spark.operators.relations import (
+        functional_violations,
+    )
+
+    rows = []
+    # born_in: 4 subjects, s4 violates (2 objs) -> functionality 3/4
+    for s, o in [("s1", "x"), ("s2", "x"), ("s3", "y"),
+                 ("s4", "x"), ("s4", "y")]:
+        rows.append((s, "born_in", o, "u"))
+    # friend_of: 3 subjects all multi-object -> functionality 0, skipped
+    for s, o in [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+                 ("c", "x"), ("c", "z")]:
+        rows.append((s, "friend_of", o, "u"))
+    # rare: 1 subject with 2 objs -> below min_subjects, skipped
+    rows += [("r", "rare", "x", "u"), ("r", "rare", "y", "u")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj", "url"])
+    out = functional_violations(
+        t, min_subjects=3, func_threshold_ppm=700_000
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["pred"], r["subj"], r["n_objs"]) == ("born_in", "s4", 2)
+    assert r["n_subj"] == 4 and r["functionality_ppm"] == 750000
+    # duplicate observations of the same (s,p,o) must not create
+    # violations: n_objs is DISTINCT objects
+    t2 = spark.createDataFrame(
+        [("s", "p", "o", "u1"), ("s", "p", "o", "u2"),
+         ("s2", "p", "o", "u"), ("s3", "p", "o", "u")],
+        ["subj", "pred", "obj", "url"],
+    )
+    assert functional_violations(t2, min_subjects=3).count() == 0
+
+
+def test_anchor_prior_shares(spark):
+    from spanmarkerner_spark.operators.linkgraph import anchor_prior
+
+    links = spark.createDataFrame(
+        [("u1", "https://a.org/1", "acme"),
+         ("u2", "https://a.org/2", "acme"),
+         ("u3", "https://b.org/1", "acme"),
+         ("u4", "https://b.org/1", "other")],
+        ["src_url", "dst_url", "anchor"],
+    )
+    out = {(r["anchor"], r["dst_host"]): r
+           for r in anchor_prior(links).collect()}
+    assert out[("acme", "a.org")]["n"] == 2
+    assert out[("acme", "a.org")]["n_anchor"] == 3
+    assert out[("acme", "a.org")]["prior_ppm"] == 666666
+    assert out[("acme", "b.org")]["prior_ppm"] == 333333
+    assert out[("other", "b.org")]["prior_ppm"] == 1000000
+
+
+def test_gopher_quality_flags_rules(spark):
+    from spanmarkerner_spark.operators.corpus_stats import (
+        gopher_quality_flags,
+    )
+
+    good = " ".join(["the", "a"] + ["solid"] * 60)   # 62 words, stops ok
+    short = "the a word"                             # fails word count
+    nostop = " ".join(["solid"] * 60)                # fails stopwords
+    longw = " ".join(["the", "a"] + ["x" * 12] * 60) # mean wl > 10
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, nostop), (4, longw)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["pass_gopher"] == 1
+    assert out[2]["flag_word_count"] == 0 and out[2]["pass_gopher"] == 0
+    assert out[2]["flag_stopwords"] == 1
+    assert out[3]["flag_stopwords"] == 0 and out[3]["pass_gopher"] == 0
+    assert out[4]["flag_mean_wl"] == 0 and out[4]["pass_gopher"] == 0
+    # exact ppm arithmetic: 62 words, 3+1+60*5 = 304 chars
+    assert out[1]["mean_wl_ppm"] == (304 * 1_000_000) // 62
+    # empty doc: zero words, all flags 0, no division error
+    empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
+    e = gopher_quality_flags(empty).collect()[0]
+    assert e["n_words"] == 0 and e["pass_gopher"] == 0
+
+
+def test_hits_hand_computed_one_iteration(spark):
+    from spanmarkerner_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b", "d")], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in hits(edges, iters=1).collect()}
+    # n=4, h0=250000 each; a_raw(b)=500000, a_raw(d)=250000, total
+    # 750000 -> authority(b)=666666, authority(d)=333333; hubs
+    # renormalize to 400000/400000/200000 (hand-derived floors)
+    assert out["b"]["authority"] == 666666
+    assert out["d"]["authority"] == 333333
+    assert out["a"]["authority"] == 0 and out["a"]["hub"] == 400000
+    assert out["c"]["hub"] == 400000
+    assert out["b"]["hub"] == 200000
+    assert out["d"]["hub"] == 0
+    # share invariants: each normalized table sums to ~scale (floor)
+    assert sum(r["authority"] for r in out.values()) <= 10**6
+    assert sum(r["hub"] for r in out.values()) <= 10**6
+
+
+def test_fact_snapshot_status_buckets(spark):
+    from datetime import datetime
+
+    from spanmarkerner_spark.operators.relations import (
+        fact_snapshot_status,
+        fact_temporal_windows,
+    )
+
+    t = spark.createDataFrame(
+        [("new", "p", "o", "u3"),
+         ("stale", "p", "o", "u1"),
+         ("stable", "p", "o", "u1"), ("stable", "p", "o", "u3")],
+        ["subj", "pred", "obj", "url"],
+    )
+    pages = spark.createDataFrame(
+        [("u1", datetime(2026, 1, 1)), ("u3", datetime(2026, 1, 9))],
+        ["url", "warc_ts"],
+    )
+    cut = int(datetime(2026, 1, 5).timestamp())
+    w = fact_temporal_windows(t, pages)
+    out = {r["subj"]: r["status"]
+           for r in fact_snapshot_status(w, cut).collect()}
+    assert out == {"new": "new", "stale": "stale", "stable": "stable"}
+
+
+def test_source_rollup_exact_shares(spark):
+    from spanmarkerner_spark.operators.corpus_stats import source_rollup
+
+    good = " ".join(["the", "a"] + ["solid"] * 60)
+    bad = "the a word"
+    docs = spark.createDataFrame(
+        [(1, good, "s1"), (2, bad, "s1"), (3, good, "s2")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r for r in source_rollup(docs).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_pass"] == 1
+    assert out["s1"]["pass_ppm"] == 500000
+    assert out["s2"]["pass_ppm"] == 1000000
+    # corpus-exact mean word length: s1 = (304 + 8) chars / (62 + 3)
+    assert out["s1"]["sum_words"] == 65
+    assert out["s1"]["mean_wl_ppm"] == (312 * 1_000_000) // 65
