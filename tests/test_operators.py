@@ -2078,3 +2078,74 @@ def test_source_rollup_exact_shares(spark):
     # corpus-exact mean word length: s1 = (304 + 8) chars / (62 + 3)
     assert out["s1"]["sum_words"] == 65
     assert out["s1"]["mean_wl_ppm"] == (312 * 1_000_000) // 65
+
+
+def test_build_postings_and_boolean_and(spark):
+    from spanmarkerner_spark.operators.search import (
+        boolean_and,
+        build_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the"), (2, "cat mat"), (3, "dog")],
+        ["doc_id", "text"],
+    )
+    p = {(r["term"], r["doc_id"]): r
+         for r in build_postings(docs).collect()}
+    assert p[("the", 1)]["tf"] == 2
+    assert p[("the", 1)]["first_pos"] == 0 and p[("the", 1)]["n_pos"] == 2
+    assert p[("cat", 1)]["first_pos"] == 1
+    assert p[("cat", 2)]["tf"] == 1
+    out = {r["doc_id"]: r for r in
+           boolean_and(build_postings(docs), ["the", "cat"]).collect()}
+    # only doc 1 contains BOTH terms
+    assert list(out) == [1]
+    assert out[1]["total_tf"] == 3 and out[1]["first_pos_min"] == 0
+
+
+def test_bm25_topk_hand_computed(spark):
+    from spanmarkerner_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark table"), (2, "spark other words here"),
+         (3, "nothing else")],
+        ["doc_id", "text"],
+    )
+    out = {(r["term"], r["doc_id"]): r
+           for r in bm25_topk(docs, ["spark", "table"]).collect()}
+    # hand-derived ppm floors: n=3, sum_dl=9
+    assert out[("spark", 1)]["score"] == 2062500
+    assert out[("spark", 2)]["score"] == 1320000
+    assert out[("table", 1)]["score"] == 3000000
+    assert out[("spark", 1)]["rank"] == 1
+    assert out[("spark", 2)]["rank"] == 2
+    assert ("spark", 3) not in out
+    # rarer term outranks: idf doubles for df=1
+    assert out[("table", 1)]["score"] > out[("spark", 1)]["score"]
+
+
+def test_rand_proj_deterministic_and_hand_checked(spark):
+    import hashlib
+
+    from spanmarkerner_spark.operators.similarity import rand_proj
+
+    vecs = spark.createDataFrame(
+        [(0, [0.5, -0.25]), (1, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = rand_proj(vecs, k=2)
+    rows = {(r["vec_id"], r["j"]): r for r in out.collect()}
+    assert len(rows) == 4
+
+    def sign(j, d):
+        h = int(hashlib.md5(f"rp|{j}|{d}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    # qi(vec 0) = [500000, -250000]
+    for j in (0, 1):
+        exp = 500000 * sign(j, 0) + (-250000) * sign(j, 1)
+        assert rows[(0, j)]["proj"] == exp
+        assert rows[(0, j)]["sign_bit"] == (1 if exp >= 0 else 0)
+    # deterministic across evaluations
+    again = {(r["vec_id"], r["j"]): r["proj"] for r in out.collect()}
+    assert all(again[k] == rows[k]["proj"] for k in rows)

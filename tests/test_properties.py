@@ -202,3 +202,115 @@ def test_encode_words_char_spans_slice_back(words):
     sent = " ".join(words)
     for i in range(e["num_words"]):
         assert sent[e["word_char_start"][i]:e["word_char_end"][i]] == words[i]
+
+
+# ---- round-5 wave operators: seeded randomized python oracles --------
+
+
+def test_extract_links_matches_python_contract(spark):
+    """One randomized batch of hrefs (schemes, fragments, relative
+    forms) through extract_links vs a python replica of the module's
+    normalization contract."""
+    from spanmarkerner_spark.operators.linkgraph import extract_links
+
+    rng = random.Random(7)
+    pieces = ["https://x.org/a", "http://y.io/b?q=1", "/root/p",
+              "rel/p", "mailto:a@b.c", "javascript:void(0)", "",
+              "//proto.rel/x", "/only#frag", "https://z.net/#f2"]
+    hrefs = [rng.choice(pieces) + (f"#s{i}" if rng.random() < 0.3 else "")
+             for i in range(200)]
+    rows = [
+        (f"https://host{i % 7}.example.com/page{i}", None,
+         f'<a href="{h}">t{i}</a>'.encode(), "", "en")
+        for i, h in enumerate(hrefs)
+    ]
+    from spanmarkerner_spark import schemas
+
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    got = {(r["src_url"], r["dst_url"]) for r in
+           extract_links(pages).collect()}
+
+    def norm(src, href):
+        href = href.split("#")[0]
+        if href.startswith(("https://", "http://")):
+            return href
+        if href.startswith("/"):
+            scheme_host = src.split("/", 3)
+            return f"{scheme_host[0]}//{scheme_host[2]}" + href
+        return None
+
+    want = set()
+    for i, h in enumerate(hrefs):
+        src = f"https://host{i % 7}.example.com/page{i}"
+        d = norm(src, h)
+        if d:
+            want.add((src, d))
+    assert got == want
+
+
+def test_bm25_matches_python_oracle(spark):
+    """Seeded random corpus; python integer replica of the exact ppm
+    formula must match Spark value-for-value."""
+    from spanmarkerner_spark.operators.search import (
+        PPM, B_PPM, K1_PPM, bm25_topk,
+    )
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 30))))
+            for i in range(40)]
+    terms = ["alpha", "beta"]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["term"], r["doc_id"]): r["score"]
+           for r in bm25_topk(sdf, terms, k=1000).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    sum_dl = sum(len(v) for v in toks.values())
+    want = {}
+    for term in terms:
+        df = sum(1 for v in toks.values() if term in v)
+        for i, v in toks.items():
+            tf = v.count(term)
+            if not tf:
+                continue
+            idf = n * PPM // df
+            norm_ppm = PPM - B_PPM + (B_PPM * len(v) * n) // sum_dl
+            score = (idf * tf * (PPM + K1_PPM)) // (
+                tf * PPM + (K1_PPM * norm_ppm) // PPM
+            )
+            want[(term, i)] = score
+    assert got == want
+
+
+def test_hits_matches_python_oracle(spark):
+    """Seeded random digraph; python integer replica of the
+    normalized half-steps must match Spark value-for-value."""
+    from spanmarkerner_spark.operators.graph import hits
+
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)}
+    edges = sorted((s, d) for s, d in edges if s != d)
+    sdf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["authority"], r["hub"])
+           for r in hits(sdf, iters=2, scale=10**6).collect()}
+
+    ns = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: 10**6 // len(ns) for v in ns}
+    a = {}
+    for _ in range(2):
+        raw = {}
+        for s, d in edges:
+            raw[d] = raw.get(d, 0) + h[s]
+        t = sum(raw.values())
+        a = {v: r * 10**6 // t for v, r in raw.items()}
+        raw = {}
+        for s, d in edges:
+            if d in a:
+                raw[s] = raw.get(s, 0) + a[d]
+        t = sum(raw.values())
+        h = {v: r * 10**6 // t for v, r in raw.items()}
+    want = {v: (a.get(v, 0), h.get(v, 0)) for v in ns}
+    assert got == want

@@ -45,6 +45,7 @@ AUDITED = [
     "kg_functional_violations", "text_gopher_rules", "web_anchor_prior",
     "web_host_hits", "kg_snapshot_diff", "text_source_rollup",
     "kg_context_diff", "kg_rich_delta", "web_host_degrees",
+    "text_boolean_search", "text_bm25_topk", "embed_rand_proj",
 ]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 MAX_PLAN_LINES = 30
