@@ -3361,6 +3361,27 @@ def _kg_base(spark: SparkSession, sf_dir: str, ctx_window: int = 0) -> dict:
     return res
 
 
+def _kg_linked_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder linking shared by every consumer query
+    (kg_linked_cross, kg_alias_prior, kg_rel_signatures,
+    kg_coref_pronouns): the mapInPandas pair-scoring pass is the
+    second-most-expensive stage after NER, so it runs ONCE per
+    (SparkContext, sf_dir) and persists — mirroring _kg_base's
+    mentions cache. The full column set is cached; consumers
+    project."""
+    base = _kg_base(spark, sf_dir)
+    lc = base.get("_linked_cross")
+    if lc is None:
+        from spanmarkerner_spark.operators.rerank import link_mentions_cross
+        from spanmarkerner_spark.pipeline import alias_dict_df, default_config
+
+        lc = link_mentions_cross(
+            base["mentions"], alias_dict_df(spark), default_config()
+        ).persist()
+        base["_linked_cross"] = lc
+    return lc
+
+
 @_q("kg_mentions", _kg_fixture_sql("mentions.parquet", _MENTION_ID_COLS))
 def kg_mentions(spark, sf_dir):
     """Mentions over pages (UDF NER pipeline). Oracle = expected-
@@ -3428,15 +3449,9 @@ def kg_linked_cross(spark, sf_dir):
     linked_cross_table, sharing rerank.cross_score_py); the checked
     projection is the integer/string linking identity. Reuses the
     cached pipeline mentions: only the (thin) candidate join + pair
-    scoring UDF runs here."""
-    from spanmarkerner_spark.operators.rerank import link_mentions_cross
-    from spanmarkerner_spark.pipeline import alias_dict_df, default_config
-
-    base = _kg_base(spark, sf_dir)
-    linked = link_mentions_cross(
-        base["mentions"], alias_dict_df(spark), default_config()
-    )
-    return linked.select(
+    scoring UDF runs here — once, via the shared _kg_linked_cross
+    cache."""
+    return _kg_linked_cross(spark, sf_dir).select(
         "url", "sentence_id", "word_start_index", "span", "entity_id"
     )
 
@@ -3764,13 +3779,8 @@ def kg_alias_prior(spark, sf_dir):
     of the north_star. Reuses the cached pipeline's linked mentions;
     oracle aggregates the same linked_cross fixture."""
     from spanmarkerner_spark.operators.linking import alias_prior
-    from spanmarkerner_spark.operators.rerank import link_mentions_cross
-    from spanmarkerner_spark.pipeline import alias_dict_df, default_config
 
-    base = _kg_base(spark, sf_dir)
-    linked = link_mentions_cross(
-        base["mentions"], alias_dict_df(spark), default_config()
-    )
+    linked = _kg_linked_cross(spark, sf_dir)
     return alias_prior(linked).withColumnRenamed("rank", "ent_rank")
 
 
@@ -3960,13 +3970,9 @@ def kg_rel_signatures(spark, sf_dir):
     both label legs broadcast, the triple table never shuffles for
     the joins."""
     from spanmarkerner_spark.operators.relations import relation_signatures
-    from spanmarkerner_spark.operators.rerank import link_mentions_cross
-    from spanmarkerner_spark.pipeline import alias_dict_df, default_config
 
     base = _kg_base(spark, sf_dir)
-    linked = link_mentions_cross(
-        base["mentions"], alias_dict_df(spark), default_config()
-    )
+    linked = _kg_linked_cross(spark, sf_dir)
     ent_labels = (
         linked.filter(F.col("entity_id").isNotNull())
         .groupBy("entity_id")
@@ -4068,13 +4074,8 @@ def kg_coref_pronouns(spark, sf_dir):
     document-initial pronouns drop."""
     from spanmarkerner_spark.functions.hashing import portable_hash64
     from spanmarkerner_spark.operators.coref import resolve_pronouns
-    from spanmarkerner_spark.operators.rerank import link_mentions_cross
-    from spanmarkerner_spark.pipeline import alias_dict_df, default_config
 
-    base = _kg_base(spark, sf_dir)
-    linked = link_mentions_cross(
-        base["mentions"], alias_dict_df(spark), default_config()
-    ).select(
+    linked = _kg_linked_cross(spark, sf_dir).select(
         "url",
         "sentence_id",
         F.col("word_start_index").alias("pos"),
