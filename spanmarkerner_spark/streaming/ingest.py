@@ -706,3 +706,78 @@ def backfill_near_dup_index(
             sp.conf.unset(key)
         else:
             sp.conf.set(key, prev)
+
+
+def link_graph_micro_batch(
+    batch_df: "DataFrame", epoch_id: int, out_dir: str
+) -> None:
+    """One micro-batch of the streaming link-graph maintenance job:
+    extract + normalize the batch's anchors, aggregate to PARTIAL
+    host-grain counts, and dynamically overwrite the batch's epoch
+    partition (exactly-once under foreachBatch retries — a retried
+    epoch rewrites only its own partition). Module-level so retry
+    semantics are directly testable, like curate_micro_batch."""
+    from spanmarkerner_spark.operators.linkgraph import extract_links, host_graph
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        host_graph(extract_links(batch_df))
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .partitionBy("epoch_id")
+        .parquet(out_dir)
+    )
+
+
+def stream_pages_to_host_graph(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files: int = 16,
+):
+    """Streaming link-graph maintenance: page files arriving in
+    pages_dir are folded into an epoch-partitioned host-graph table
+    of PARTIAL (src_host, dst_host) counts; host_graph_from_epochs
+    re-aggregates to the exact batch answer.
+
+    Why partial-counts compose exactly: n_links is a plain sum, and
+    n_src_pages sums because each page (one url row) lives in exactly
+    ONE file, hence one micro-batch, hence one epoch — no src_url is
+    split across epoch partitions. (If upstream re-crawled the same
+    url into a later file, the sum counts it per-crawl — the
+    observation grain, which is what crawl-frequency analytics want.)
+
+    At 100 TB this is the standard freshness layout (same shape as
+    stream_vectors_to_ivf_index): the bulk graph is one big epoch,
+    the stream adds small epochs, plans/compaction.compact_epochs
+    folds cold epochs, and the re-aggregation input is
+    host-vocabulary-thin per epoch — NOT the raw links."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        link_graph_micro_batch(batch_df, epoch_id, out_dir)
+
+    return (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(pages_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def host_graph_from_epochs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Re-aggregate the epoch-partitioned partial host graph into the
+    exact batch-equivalent (src_host, dst_host, n_links, n_src_pages)
+    table. Input rows ~ hosts^2 per epoch — vocabulary-thin."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.sum("n_links").cast("long").alias("n_links"),
+            F.sum("n_src_pages").cast("long").alias("n_src_pages"),
+        )
+    )

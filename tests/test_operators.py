@@ -2149,3 +2149,73 @@ def test_rand_proj_deterministic_and_hand_checked(spark):
     # deterministic across evaluations
     again = {(r["vec_id"], r["j"]): r["proj"] for r in out.collect()}
     assert all(again[k] == rows[k]["proj"] for k in rows)
+
+
+def test_stream_pages_to_host_graph_batch_equivalence(spark, tmp_path):
+    """Streaming link-graph maintenance: pages streamed file-by-file
+    into epoch-partitioned partial counts; the re-aggregation equals
+    the one-shot batch host_graph, and a retried epoch overwrites
+    only its own partition (no double counting)."""
+    import os
+
+    from spanmarkerner_spark import schemas
+    from spanmarkerner_spark.operators.linkgraph import (
+        extract_links,
+        host_graph,
+    )
+    from spanmarkerner_spark.streaming.ingest import (
+        host_graph_from_epochs,
+        link_graph_micro_batch,
+        stream_pages_to_host_graph,
+    )
+
+    def page(i):
+        url = f"https://h{i % 3}.org/p{i}"
+        html = (
+            f'<a href="https://h{(i + 1) % 3}.org/x">a</a>'
+            f'<a href="/local">b</a>'
+        ).encode()
+        return (url, None, html, "", "en")
+
+    rows = [page(i) for i in range(12)]
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    for lo in (0, 6):
+        spark.createDataFrame(
+            rows[lo : lo + 6], schema=schemas.PAGES
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "hg")
+    q = stream_pages_to_host_graph(
+        spark, src, out, str(tmp_path / "ckpt"), max_files=1
+    )
+    q.awaitTermination(300)
+    stored = spark.read.parquet(out)
+    assert {r["epoch_id"] for r in
+            stored.select("epoch_id").distinct().collect()} == {0, 1}
+
+    batch = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in host_graph(
+            extract_links(spark.createDataFrame(rows, schema=schemas.PAGES))
+        ).collect()
+    }
+    streamed = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in host_graph_from_epochs(spark, out).collect()
+    }
+    assert streamed == batch
+    # every page links once cross-host and once to itself (root-rel)
+    assert streamed[("h0.org", "h1.org")][0] == 4
+
+    # foreachBatch at-least-once: retrying epoch 1 with its own data
+    # rewrites the partition instead of appending. (Either file maps
+    # to the same host-grain partial — i%3 covers 0,1,2 evenly in
+    # both halves — so this holds whichever file became epoch 1.)
+    batch1 = spark.createDataFrame(rows[6:12], schema=schemas.PAGES)
+    link_graph_micro_batch(batch1, 1, out)
+    retry = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in host_graph_from_epochs(spark, out).collect()
+    }
+    assert retry == batch
