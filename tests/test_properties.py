@@ -314,3 +314,104 @@ def test_hits_matches_python_oracle(spark):
         h = {v: r * 10**6 // t for v, r in raw.items()}
     want = {v: (a.get(v, 0), h.get(v, 0)) for v in ns}
     assert got == want
+
+
+def test_salience_matches_python_oracle(spark):
+    """Seeded random mentions; python replica of the exact ppm score
+    and the (score DESC, entity ASC) top-k must match."""
+    from spanmarkerner_spark.operators.salience import entity_salience
+
+    rng = random.Random(13)
+    rows = [
+        (f"d{rng.randint(0, 5)}", f"e{rng.randint(0, 8)}",
+         rng.randint(0, 120))
+        for _ in range(300)
+    ]
+    sdf = spark.createDataFrame(rows, ["url", "span", "doc_word_start"])
+    got = {(r["url"], r["entity"]): (r["salience_ppm"], r["rank"])
+           for r in entity_salience(sdf, top_k=3).collect()}
+
+    agg = {}
+    for d, e, p in rows:
+        n, fp = agg.get((d, e), (0, None))
+        agg[(d, e)] = (n + 1, p if fp is None else min(fp, p))
+    by_doc = {}
+    for (d, e), (n, fp) in agg.items():
+        by_doc.setdefault(d, []).append((e, n * 1_000_000 // (10 + fp)))
+    want = {}
+    for d, ents in by_doc.items():
+        for rank, (e, s) in enumerate(
+            sorted(ents, key=lambda t: (-t[1], t[0]))[:3], 1
+        ):
+            want[(d, e)] = (s, rank)
+    assert got == want
+
+
+def test_source_rollup_matches_python_oracle(spark):
+    """Seeded random corpus; python replica of the Gopher flags and
+    the corpus-exact per-source means must match value-for-value."""
+    from spanmarkerner_spark.operators.corpus_stats import (
+        GOPHER_STOPWORDS,
+        source_rollup,
+    )
+
+    rng = random.Random(17)
+    vocab = ["the", "a", "solid", "word", "lexeme", "tokenization"]
+    docs = [
+        (i, " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(1, 80))),
+         f"s{i % 4}")
+        for i in range(60)
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    got = {r["source"]: (r["n_docs"], r["n_pass"], r["pass_ppm"],
+                         r["sum_words"], r["mean_wl_ppm"])
+           for r in source_rollup(sdf).collect()}
+
+    per_src = {}
+    for _i, text, src in docs:
+        toks = text.split()
+        nw, swl = len(toks), sum(len(t) for t in toks)
+        mw = swl * 1_000_000 // nw if nw else 0
+        ns = len(set(toks) & set(GOPHER_STOPWORDS))
+        ok = int(50 <= nw <= 100_000 and 3_000_000 <= mw <= 10_000_000
+                 and ns >= 2)
+        d = per_src.setdefault(src, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += ok
+        d[2] += nw
+        d[3] += swl
+    want = {
+        s: (n, p, p * 1_000_000 // n, w,
+            (c * 1_000_000 // w if w else 0))
+        for s, (n, p, w, c) in per_src.items()
+    }
+    assert got == want
+
+
+def test_anchor_prior_matches_python_oracle(spark):
+    """Seeded random links; python replica of the ppm shares."""
+    from spanmarkerner_spark.operators.linkgraph import anchor_prior
+
+    rng = random.Random(23)
+    rows = [
+        (f"https://s{rng.randint(0, 4)}.org/p{i}",
+         f"https://t{rng.randint(0, 3)}.net/x",
+         rng.choice(["here", "acme", "more"]))
+        for i in range(200)
+    ]
+    sdf = spark.createDataFrame(rows, ["src_url", "dst_url", "anchor"])
+    got = {(r["anchor"], r["dst_host"]): (r["n"], r["n_anchor"],
+                                          r["prior_ppm"])
+           for r in anchor_prior(sdf).collect()}
+
+    cnt = {}
+    for _s, d, a in rows:
+        host = d.split("//")[1].split("/")[0]
+        cnt[(a, host)] = cnt.get((a, host), 0) + 1
+    tot = {}
+    for (a, _h), n in cnt.items():
+        tot[a] = tot.get(a, 0) + n
+    want = {(a, h): (n, tot[a], n * 1_000_000 // tot[a])
+            for (a, h), n in cnt.items()}
+    assert got == want
