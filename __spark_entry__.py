@@ -4988,6 +4988,328 @@ def embed_rand_proj(spark, sf_dir):
     return rand_proj(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+# ---- round-5 twelfth wave: seed-set graph analytics --------------------
+# Both run over the ORDER-LINE SUCCESSOR graph (part A followed by
+# part B within an order's line sequence) — the TPC-H twin of the
+# anchor/click successor graphs web curation walks — with a sparse
+# deterministic seed set (partkey % 1009 = 1). Unlike the dense
+# co-occurrence graph (everything within 2 hops), the successor graph
+# leaves nodes at distance 0/1/2/3 AND unreached nodes at every scale
+# factor, so the oracle rows discriminate the frontier logic.
+
+_SUCC_EDGES_SQL = (
+    "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst"
+    "      FROM lineitem a JOIN lineitem b"
+    "      ON a.l_orderkey = b.l_orderkey"
+    "      AND a.l_linenumber + 1 = b.l_linenumber"
+    "      WHERE a.l_partkey <> b.l_partkey)"
+)
+_SEEDS_SQL = (
+    "seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 1009 = 1)"
+)
+
+
+def _succ_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("_k"),
+        F.col("l_linenumber").alias("_ln"),
+        F.col("l_partkey").alias("src"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("_k"),
+        F.col("l_linenumber").alias("_ln2"),
+        F.col("l_partkey").alias("dst"),
+    )
+    return (
+        a.join(b, (a["_k"] == b["_k"]) & (a["_ln"] + 1 == b["_ln2"]))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _bfs_sql(max_dist: int) -> str:
+    """DuckDB mirror of operators/graph.bfs_distances over the
+    successor graph: each round unrolled as a CTE pair (frontier
+    expansion from exactly the distance-(t-1) nodes, then MIN-merge
+    with everything already visited)."""
+    ctes = [
+        _SUCC_EDGES_SQL,
+        _SEEDS_SQL,
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)",
+    ]
+    for t in range(1, max_dist + 1):
+        ctes.append(
+            f"f{t} AS (SELECT e.dst AS node, CAST({t} AS BIGINT) AS dist"
+            f"   FROM e JOIN d{t - 1} d ON e.src = d.node"
+            f"   AND d.dist = {t - 1})"
+        )
+        ctes.append(
+            f"d{t} AS (SELECT node, MIN(dist) AS dist FROM"
+            f"   (SELECT * FROM d{t - 1} UNION ALL SELECT * FROM f{t})"
+            f"   GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{max_dist}"
+    )
+
+
+def _ppr_sql(iters: int, scale: int = 10**12, damping_pct: int = 85) -> str:
+    """DuckDB mirror of operators/graph.personalized_pagerank over
+    the successor graph: per round, the in-contribution sum then the
+    damped-update-plus-teleport merge, unrolled as CTE pairs — same
+    integer floor arithmetic as the Spark side."""
+    base_pct = 100 - damping_pct
+    ctes = [
+        _SUCC_EDGES_SQL,
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        _SEEDS_SQL,
+        "ns AS (SELECT COUNT(*) AS n FROM seeds)",
+        f"tp AS (SELECT node, ({base_pct} * ({scale} // ns.n)"
+        f"        // 100)::BIGINT AS p FROM seeds, ns)",
+        f"r0 AS (SELECT node, ({scale} // ns.n)::BIGINT AS r"
+        f"       FROM seeds, ns)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"in{t} AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS inr"
+            f"   FROM e JOIN deg d ON e.src = d.src"
+            f"   JOIN r{t - 1} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT node, SUM(p)::BIGINT AS r FROM ("
+            f"   SELECT node, ({damping_pct} * inr // 100)::BIGINT AS p"
+            f"   FROM in{t}"
+            f"   UNION ALL SELECT node, p FROM tp)"
+            f"   GROUP BY node HAVING SUM(p) > 0)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank FROM r{iters}"
+    )
+
+
+@_q("graph_bfs_dist", _bfs_sql(max_dist=3))
+def graph_bfs_dist(spark, sf_dir):
+    """Multi-source BFS hop distances (3 rounds) from the sparse seed
+    set over the successor graph — the hops-from-trusted-seeds spam
+    prior (TrustRank's seed-distance notion) and the KG neighborhood
+    radius. Frontier-based: round t joins only the distance-(t-1)
+    nodes to the edge table. Iterations value-pinned by the unrolled
+    CTE oracle; distances 0..3 plus unreached nodes all occur at
+    every sf."""
+    from spanmarkerner_spark.operators.graph import bfs_distances
+
+    edges = _succ_edges(spark, sf_dir)
+    seeds = edges.filter(F.col("src") % 1009 == 1).select(
+        F.col("src").alias("node")
+    )
+    return bfs_distances(edges, seeds, max_dist=3)
+
+
+@_q("graph_ppr", _ppr_sql(iters=3))
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (3 rounds, d=0.85, teleport onto the
+    seed set only) over the successor graph — TrustRank-style
+    seed-biased centrality / KG entity-relatedness. Integer-quantized
+    like graph_pagerank; zero-rank nodes drop each round so the
+    moving rank table stays seed-local. Value-pinned by the unrolled
+    CTE oracle."""
+    from spanmarkerner_spark.operators.graph import personalized_pagerank
+
+    edges = _succ_edges(spark, sf_dir)
+    seeds = edges.filter(F.col("src") % 1009 == 1).select(
+        F.col("src").alias("node")
+    )
+    return personalized_pagerank(edges, seeds, iters=3)
+
+
+# ---- round-5 twelfth wave: dictionary-encoded triple store -------------
+# TPC-H rendered as a 3-predicate string triple table, then encoded
+# against dense term/predicate dictionaries (plans/dict_store.py) the
+# way every RDF store lays out 10^12-triple tables. The oracle mirrors
+# dense_ids' contract directly as row_number() OVER (ORDER BY term).
+
+_TRIPLE_T_SQL = (
+    "t AS ("
+    "  SELECT DISTINCT 'S' || l_suppkey AS subj, 'supplies' AS pred,"
+    "         'P' || l_partkey AS obj FROM lineitem WHERE l_linenumber = 1"
+    "  UNION ALL"
+    "  SELECT DISTINCT 'S' || s_suppkey, 'in_nation', 'N' || s_nationkey"
+    "  FROM supplier"
+    "  UNION ALL"
+    "  SELECT DISTINCT 'C' || c_custkey, 'in_nation', 'N' || c_nationkey"
+    "  FROM customer)"
+)
+_DICT_SQL = (
+    "terms AS ("
+    "  SELECT term, row_number() OVER (ORDER BY term)::BIGINT AS tid"
+    "  FROM (SELECT subj AS term FROM t UNION SELECT obj FROM t)),"
+    "preds AS ("
+    "  SELECT pred, row_number() OVER (ORDER BY pred)::BIGINT AS pid"
+    "  FROM (SELECT DISTINCT pred FROM t)),"
+    "enc AS ("
+    "  SELECT ts.tid AS s_id, p.pid AS p_id, tob.tid AS o_id"
+    "  FROM t JOIN terms ts ON t.subj = ts.term"
+    "  JOIN preds p ON t.pred = p.pred"
+    "  JOIN terms tob ON t.obj = tob.term)"
+)
+
+
+def _tpch_triples(spark, sf_dir):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("subj"),
+            F.lit("supplies").alias("pred"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("obj"),
+        )
+        .distinct()
+    )
+    su = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+        )
+        .distinct()
+    )
+    cu = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("obj"),
+        )
+        .distinct()
+    )
+    return li.unionByName(su).unionByName(cu)
+
+
+@_q(
+    "kg_dict_encode",
+    f"WITH {_TRIPLE_T_SQL}, {_DICT_SQL}\n"
+    "SELECT s_id, p_id, o_id FROM enc",
+)
+def kg_dict_encode(spark, sf_dir):
+    """Dictionary-encode the TPC-H triple table: one shared node
+    dictionary over subj UNION obj (dense 1-based BIGINT ids, built
+    WITHOUT a global single-reducer sort — range repartition +
+    per-partition rank + broadcast prefix offsets, invariant to the
+    sampled range boundaries; plans/dict_store.py), a separate tiny
+    predicate dictionary, and the (s_id, p_id, o_id) int-key table
+    every RDF store materializes at 10^12 triples."""
+    from spanmarkerner_spark.plans.dict_store import dict_encode_triples
+
+    store = dict_encode_triples(_tpch_triples(spark, sf_dir))
+    return store["encoded"]
+
+
+@_q(
+    "kg_star_join",
+    f"WITH {_TRIPLE_T_SQL}, {_DICT_SQL},\n"
+    "anchor AS (SELECT DISTINCT e.s_id FROM enc e"
+    "  JOIN preds p ON e.p_id = p.pid"
+    "  JOIN terms o ON e.o_id = o.tid"
+    "  WHERE p.pred = 'in_nation' AND o.term = 'N8')\n"
+    "SELECT e.s_id AS s_id, COUNT(*)::BIGINT AS n_a"
+    "  FROM enc e JOIN preds p ON e.p_id = p.pid"
+    "  JOIN anchor a ON e.s_id = a.s_id"
+    "  WHERE p.pred = 'supplies' GROUP BY e.s_id",
+)
+def kg_star_join(spark, sf_dir):
+    """SPARQL-shaped conjunctive star join resolved entirely on the
+    ENCODED store: `?s supplies ?o . ?s in_nation N8` — the selective
+    pattern aggregated first as a semi-join reducer, constants
+    resolved through the dictionaries via one-row broadcast joins
+    (exactly how RDF stores execute constants). Returns each
+    qualifying subject id with its supplies-edge count."""
+    from spanmarkerner_spark.plans.dict_store import (
+        dict_encode_triples,
+        star_join_resolved,
+    )
+
+    store = dict_encode_triples(_tpch_triples(spark, sf_dir))
+    return star_join_resolved(
+        store, pred_a="supplies", pred_b="in_nation", obj_b_term="N8"
+    )
+
+
+# ---- round-5 twelfth wave: entity-type consistency --------------------
+
+from spanmarkerner_spark.functions.hashing import portable_hash64_sql as _ph_sql
+
+_TYPE_FLIP_SQL = (
+    "CASE WHEN "
+    + _ph_sql("concat(lc.url, ':', lc.word_start_index)", salt="typ")
+    + " % 13 = 0 THEN 'organization' ELSE m.label END"
+)
+
+
+@_q(
+    "kg_entity_types",
+    f"""
+    WITH lm AS (
+      SELECT lc.entity_id, {_TYPE_FLIP_SQL} AS label
+      FROM read_parquet('{_KG_FIX_TOKEN}/linked_cross.parquet') lc
+      JOIN read_parquet('{_KG_FIX_TOKEN}/mentions.parquet') m
+      USING (url, sentence_id, word_start_index)
+      WHERE lc.entity_id IS NOT NULL
+    ), cnt AS (
+      SELECT entity_id, label, COUNT(*)::BIGINT AS c
+      FROM lm GROUP BY entity_id, label
+    ), tot AS (
+      SELECT entity_id, SUM(c)::BIGINT AS n_mentions FROM cnt
+      GROUP BY entity_id
+    ), maj AS (
+      SELECT entity_id, label AS major_label, c AS n_major FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY entity_id ORDER BY c DESC, label ASC) AS rn
+        FROM cnt) WHERE rn = 1
+    )
+    SELECT m.entity_id, m.major_label, m.n_major, t.n_mentions,
+           ((t.n_mentions - m.n_major) * 1000000
+            // t.n_mentions)::BIGINT AS minority_ppm
+    FROM maj m JOIN tot t USING (entity_id)
+    """,
+)
+def kg_entity_types(spark, sf_dir):
+    """Majority-vote entity typing + minority-share audit
+    (operators/relations.py entity_type_majority) over the shared
+    cross-encoder linking frame. The corpus's linked mentions are
+    type-pure by construction, so a deterministic portable-hash label
+    flip (~1/13 of mentions -> 'organization'; dedup_url synthesis
+    precedent, same rule in both engines) makes 13 of 23 entities
+    mixed-type at every sf — the minority_ppm branch is
+    discriminating, not vacuous. ONE keyed shuffle at (entity, label)
+    grain; argmax + totals ride the thin count table."""
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+    from spanmarkerner_spark.operators.relations import entity_type_majority
+
+    lc = _kg_linked_cross(spark, sf_dir)
+    flipped = lc.withColumn(
+        "label",
+        F.when(
+            portable_hash64(
+                F.concat_ws(
+                    ":", F.col("url"), F.col("word_start_index")
+                ),
+                salt="typ",
+            )
+            % 13
+            == 0,
+            F.lit("organization"),
+        ).otherwise(F.col("label")),
+    )
+    return entity_type_majority(flipped)
+
+
 # ---------------------------------------------------------------------
 
 
@@ -5058,6 +5380,11 @@ _NEXT_ROTATION = [
     "web_host_hits", "kg_snapshot_diff", "text_source_rollup",
     "kg_context_diff", "kg_rich_delta", "web_host_degrees",
     "text_boolean_search", "text_bm25_topk", "embed_rand_proj",
+    # round-5 twelfth-wave additions (same contract: strict-local green
+    # at sf0.001/0.01/0.1 required by tools/strict_check.py before
+    # registration; first in line for the next driver window):
+    "graph_bfs_dist", "graph_ppr", "kg_dict_encode", "kg_star_join",
+    "kg_entity_types",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green

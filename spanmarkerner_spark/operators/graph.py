@@ -333,3 +333,118 @@ def hits(edges: DataFrame, iters: int = 2, scale: int = 10**6) -> DataFrame:
             F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_dist: int = 3
+) -> DataFrame:
+    """Multi-source BFS hop distances from a seed set, bounded at
+    `max_dist` rounds — the "hops from trusted seeds" signal web
+    curation uses as a spam prior (TrustRank's seed-distance notion,
+    Gyongyi et al. 2004) and KG consumers use as an entity
+    neighborhood radius. Exact and deterministic: a node reached in
+    an earlier round can never get a larger distance later, so the
+    per-round frontier expansion unrolls bit-exactly in SQL (the
+    DuckDB oracle mirrors each round as a CTE pair: frontier
+    expansion, then MIN-merge).
+
+    edges: directed (src, dst). seeds: (node). Returns (node, dist)
+    for every node within `max_dist` hops of any seed (seeds at 0).
+
+    Scale design (10^10-edge graph): classic frontier BFS — round t
+    joins ONLY the distance-(t-1) frontier to the edge table, so
+    per-round shuffle bytes are proportional to the frontier's edge
+    neighborhood, not the graph; edges stay put when persisted
+    partitioned by src (the thin frontier moves to them). The
+    MIN-merge groupBy is over (visited + newly-reached), a thin
+    (node, long) table with map-side combine. Real clusters should
+    localCheckpoint the distance table every few rounds (same
+    lineage note as components.py / k_core above).
+    """
+    dist = seeds.select("node").distinct().select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for t in range(1, max_dist + 1):
+        frontier = dist.filter(F.col("dist") == t - 1).select(
+            F.col("node").alias("src")
+        )
+        reached = edges.join(frontier, "src").select(
+            F.col("dst").alias("node"), F.lit(t).cast("long").alias("dist")
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart onto a SEED
+    set instead of the uniform vector — the seed-biased centrality
+    behind TrustRank host scoring (teleport to trusted hosts only)
+    and KG entity-relatedness (PPR from a query entity ranks its
+    neighborhood). Same integer-quantization contract as pagerank():
+        r0(v)   = scale div n_seeds           for seeds, else 0
+        r(v)   <- [v is seed] * ((100-d) * (scale div n_seeds)) div 100
+                  + (d * sum_in(r(u) div deg(u))) div 100
+    Every step is BIGINT floor arithmetic, so a fixed `iters` unrolls
+    bit-exactly as CTE pairs in the DuckDB oracle. Nodes whose rank
+    is 0 after the last round (never reached from the seeds) are
+    dropped — PPR mass is seed-local by construction.
+
+    edges: directed (src, dst), self-loop-free, deduplicated, with
+    every src having out-degree >= 1 (cooccurrence_edges guarantees
+    this; dangling mass is otherwise lost, as in pagerank()).
+
+    Scale design: identical per-iteration budget to pagerank() — the
+    BIG edge table is static (persist partitioned by src once), each
+    round moves only the thin (node, rank) table plus one keyed
+    map-side-combinable sum; the teleport side is the seed table,
+    broadcast-sized by definition. Because rank mass stays
+    concentrated near the seeds, the moving rank table is usually
+    FAR smaller than the node set — PPR rounds get cheaper, not
+    costlier, than uniform PageRank at the same graph size.
+    """
+    base_pct = 100 - damping_pct
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sd = seeds.select("node").distinct()
+    n_seeds = sd.agg(F.count(F.lit(1)).alias("_ns"))
+    ranks = sd.crossJoin(F.broadcast(n_seeds)).select(
+        "node", F.expr(f"CAST({scale} div _ns AS LONG)").alias("r")
+    )
+    teleport = sd.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        F.expr(
+            f"CAST({base_pct} * ({scale} div _ns) div 100 AS LONG)"
+        ).alias("p"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        damped = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("_in"))
+            .select(
+                "node",
+                F.expr(f"CAST({damping_pct} * _in div 100 AS LONG)").alias(
+                    "p"
+                ),
+            )
+        )
+        ranks = (
+            damped.unionByName(teleport)
+            .groupBy("node")
+            .agg(F.sum("p").alias("r"))
+            .filter(F.col("r") > 0)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

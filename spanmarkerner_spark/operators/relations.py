@@ -442,3 +442,67 @@ def fact_snapshot_status(
         .when(F.col("last_seen_epoch") < cut_epoch, "stale")
         .otherwise("stable"),
     )
+
+
+def entity_type_majority(
+    linked: DataFrame,
+    entity_col: str = "entity_id",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Majority-vote entity typing + type-consistency audit — the KG
+    canonicalization QA step: after linking, every mention of one
+    canonical entity should carry the same NER type; the minority
+    share localizes linking/NER disagreements (the same signal
+    Knowledge-Vault-style pipelines use to gate low-agreement
+    entities out of the graph). The reference emits per-mention
+    labels only (span_marker/modeling.py predict()); this is the
+    entity-grain consolidation over its output.
+
+    linked: one row per linked mention carrying `entity_col` and
+    `label_col`. Returns one row per entity:
+      (entity_id, major_label, n_major, n_mentions, minority_ppm)
+    major_label = most frequent label, ties broken by label ASC
+    (total deterministic order); minority_ppm = exact BIGINT
+    (n_mentions - n_major) * scale div n_mentions.
+
+    Scale design (10^11 mentions): ONE keyed shuffle — the
+    (entity, label) groupBy, whose key is FINER than per-entity so a
+    celebrity entity cannot pin a reducer; everything after runs on
+    the (entity, label) count table, which is bounded by
+    n_entities * n_labels (label vocabularies are tiny). The per-
+    entity argmax window and total re-aggregation both ride that thin
+    table."""
+    cnt = (
+        linked.filter(F.col(entity_col).isNotNull())
+        .select(
+            F.col(entity_col).alias("entity_id"),
+            F.col(label_col).alias("_lab"),
+        )
+        .groupBy("entity_id", "_lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("_c"), F.asc("_lab")
+    )
+    maj = (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "entity_id",
+            F.col("_lab").alias("major_label"),
+            F.col("_c").alias("n_major"),
+        )
+    )
+    tot = cnt.groupBy("entity_id").agg(
+        F.sum("_c").cast("long").alias("n_mentions")
+    )
+    return maj.join(tot, "entity_id").select(
+        "entity_id",
+        "major_label",
+        "n_major",
+        "n_mentions",
+        F.expr(
+            f"CAST((n_mentions - n_major) * {scale} div n_mentions AS LONG)"
+        ).alias("minority_ppm"),
+    )

@@ -114,3 +114,142 @@ def test_k_core_fixed_rounds_is_converged_at_fixture_scale(spark):
     a = {(r["node"], r["degree"]) for r in k_core(edges, k=3, max_rounds=16).collect()}
     b = {(r["node"], r["degree"]) for r in k_core(edges, k=3, max_rounds=24).collect()}
     assert a == b and len(a) > 0
+
+
+def test_bfs_distances_hand_computed_path(spark):
+    from spanmarkerner_spark.operators.graph import bfs_distances
+
+    # path 0->1->2->3->4 plus an unreachable 9->8 component
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (9, 8)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_dist=3).collect()
+    }
+    # 4 is beyond the 3-hop budget; 8/9 unreachable from the seed
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_distances_min_merge_on_diamond(spark):
+    from spanmarkerner_spark.operators.graph import bfs_distances
+
+    # diamond: two routes to 3 (0->1->3 and 0->2->3), plus 3->1 back
+    # edge that must NOT overwrite 1's earlier distance
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_dist=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def _py_ppr(edges, seed_nodes, iters=3, damping_pct=85, scale=10**12):
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    ns = len(seed_nodes)
+    base = (100 - damping_pct) * (scale // ns) // 100
+    r = {v: scale // ns for v in seed_nodes}
+    for _ in range(iters):
+        inr = defaultdict(int)
+        for s, d in edges:
+            if s in r:
+                inr[d] += r[s] // deg[s]
+        nxt = defaultdict(int)
+        for v, x in inr.items():
+            nxt[v] += damping_pct * x // 100
+        for v in seed_nodes:
+            nxt[v] += base
+        r = {v: x for v, x in nxt.items() if x > 0}
+    return r
+
+
+def test_personalized_pagerank_matches_python_twin(spark):
+    from spanmarkerner_spark.operators.graph import personalized_pagerank
+
+    # two components: seeds live in the first; the second must get 0 mass
+    pairs = [(0, 1), (1, 2), (2, 0), (1, 3), (5, 6), (6, 5)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, iters=3).collect()
+    }
+    want = _py_ppr(edges, {0}, iters=3)
+    assert got == want
+    assert 5 not in got and 6 not in got  # mass stays seed-local
+
+
+def test_dense_ids_match_global_rank_and_parallelism_invariant(spark):
+    from spanmarkerner_spark.plans.dict_store import dense_ids
+
+    vals = [f"t{i:03d}" for i in range(199)]
+    import random
+
+    rnd = random.Random(7)
+    shuffled = vals[:]
+    rnd.shuffle(shuffled)
+    df = spark.createDataFrame([(v,) for v in shuffled], "term string")
+    for buckets in (1, 4, 64):
+        got = {
+            r["term"]: r["tid"]
+            for r in dense_ids(df, "term", buckets=buckets).collect()
+        }
+        want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+        assert got == want, f"buckets={buckets}"
+
+
+def test_dict_encode_shared_node_dictionary(spark):
+    from spanmarkerner_spark.plans.dict_store import dict_encode_triples
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "p", "b"),
+            ("b", "q", "c"),  # b is subj here, obj above: ONE id
+        ],
+        "subj string, pred string, obj string",
+    )
+    store = dict_encode_triples(tri)
+    terms = {r["term"]: r["tid"] for r in store["terms"].collect()}
+    assert terms == {"a": 1, "b": 2, "c": 3}
+    enc = {
+        (r["s_id"], r["p_id"], r["o_id"])
+        for r in store["encoded"].collect()
+    }
+    assert enc == {(1, 1, 2), (2, 2, 3)}
+
+
+def test_star_join_resolved_counts(spark):
+    from spanmarkerner_spark.plans.dict_store import (
+        dict_encode_triples,
+        star_join_resolved,
+    )
+
+    tri = spark.createDataFrame(
+        [
+            ("s1", "supplies", "p1"),
+            ("s1", "supplies", "p2"),
+            ("s1", "in_nation", "n1"),
+            ("s2", "supplies", "p1"),
+            ("s2", "in_nation", "n2"),  # wrong nation: excluded
+            ("s3", "in_nation", "n1"),  # no supplies edges: excluded
+        ],
+        "subj string, pred string, obj string",
+    )
+    store = dict_encode_triples(tri)
+    got = {
+        (r["s_id"], r["n_a"])
+        for r in star_join_resolved(
+            store, "supplies", "in_nation", "n1"
+        ).collect()
+    }
+    terms = {r["term"]: r["tid"] for r in store["terms"].collect()}
+    assert got == {(terms["s1"], 2)}

@@ -2219,3 +2219,30 @@ def test_stream_pages_to_host_graph_batch_equivalence(spark, tmp_path):
         for r in host_graph_from_epochs(spark, out).collect()
     }
     assert retry == batch
+
+
+def test_entity_type_majority_vote_and_minority_share(spark):
+    from spanmarkerner_spark.operators.relations import entity_type_majority
+
+    rows = [
+        # entity 1: 2x location, 1x person -> majority location, 333333 ppm
+        (1, "location"), (1, "location"), (1, "person"),
+        # entity 2: tie 1-1 -> label ASC wins ('org' < 'person')
+        (2, "person"), (2, "org"),
+        # entity 3: pure
+        (3, "product"),
+        # null entity: dropped
+        (None, "location"),
+    ]
+    df = spark.createDataFrame(rows, "entity_id long, label string")
+    got = {
+        r["entity_id"]: (
+            r["major_label"], r["n_major"], r["n_mentions"], r["minority_ppm"]
+        )
+        for r in entity_type_majority(df).collect()
+    }
+    assert got == {
+        1: ("location", 2, 3, 333333),
+        2: ("org", 1, 2, 500000),
+        3: ("product", 1, 1, 0),
+    }
