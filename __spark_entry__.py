@@ -5192,6 +5192,28 @@ def _tpch_triples(spark, sf_dir):
     return li.unionByName(su).unionByName(cu)
 
 
+# One dict-encode pass per (SparkContext, sf_dir), shared by
+# kg_dict_encode and kg_star_join — same pattern as _kg_base: the
+# encode joins are the expensive stage, the consumers project/join.
+_DICT_CACHE: dict[tuple, dict] = {}
+
+
+def _dict_store(spark: SparkSession, sf_dir: str) -> dict:
+    from spanmarkerner_spark.plans.dict_store import dict_encode_triples
+
+    key = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    for stale in [k for k in _DICT_CACHE if k[0] != key[0]]:
+        _DICT_CACHE.pop(stale, None)
+    store = _DICT_CACHE.get(key)
+    if store is None:
+        store = dict_encode_triples(_tpch_triples(spark, sf_dir))
+        store["encoded"] = store["encoded"].persist()
+        store["terms"] = store["terms"].persist()
+        store["preds"] = store["preds"].persist()
+        _DICT_CACHE[key] = store
+    return store
+
+
 @_q(
     "kg_dict_encode",
     f"WITH {_TRIPLE_T_SQL}, {_DICT_SQL}\n"
@@ -5204,11 +5226,10 @@ def kg_dict_encode(spark, sf_dir):
     per-partition rank + broadcast prefix offsets, invariant to the
     sampled range boundaries; plans/dict_store.py), a separate tiny
     predicate dictionary, and the (s_id, p_id, o_id) int-key table
-    every RDF store materializes at 10^12 triples."""
-    from spanmarkerner_spark.plans.dict_store import dict_encode_triples
-
-    store = dict_encode_triples(_tpch_triples(spark, sf_dir))
-    return store["encoded"]
+    every RDF store materializes at 10^12 triples. The store is
+    persisted once per (SparkContext, sf_dir); kg_star_join reuses
+    it."""
+    return _dict_store(spark, sf_dir)["encoded"]
 
 
 @_q(
@@ -5230,14 +5251,13 @@ def kg_star_join(spark, sf_dir):
     resolved through the dictionaries via one-row broadcast joins
     (exactly how RDF stores execute constants). Returns each
     qualifying subject id with its supplies-edge count."""
-    from spanmarkerner_spark.plans.dict_store import (
-        dict_encode_triples,
-        star_join_resolved,
-    )
+    from spanmarkerner_spark.plans.dict_store import star_join_resolved
 
-    store = dict_encode_triples(_tpch_triples(spark, sf_dir))
     return star_join_resolved(
-        store, pred_a="supplies", pred_b="in_nation", obj_b_term="N8"
+        _dict_store(spark, sf_dir),
+        pred_a="supplies",
+        pred_b="in_nation",
+        obj_b_term="N8",
     )
 
 
@@ -5308,6 +5328,38 @@ def kg_entity_types(spark, sf_dir):
         ).otherwise(F.col("label")),
     )
     return entity_type_majority(flipped)
+
+
+# ---- round-5 twelfth wave: table profiling ----------------------------
+
+def _profile_col_sql(table: str, col: str) -> str:
+    return (
+        f"SELECT '{col}' AS col_name, COUNT(*)::BIGINT AS n_rows,"
+        f" (COUNT(*) - COUNT({col}))::BIGINT AS n_nulls,"
+        f" COUNT(DISTINCT {col})::BIGINT AS ndv,"
+        f" MIN(CAST({col} AS VARCHAR)) AS min_str,"
+        f" MAX(CAST({col} AS VARCHAR)) AS max_str"
+        f" FROM {table}"
+    )
+
+
+@_q(
+    "profile_documents",
+    " UNION ALL ".join(
+        _profile_col_sql("documents", c)
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
+)
+def profile_documents(spark, sf_dir):
+    """ANALYZE-style profile of the documents table (operators/
+    profiling.py): one scan, one agg, one row per column with exact
+    row/null/distinct counts and string-rendered min/max — the audit
+    every 100 TB curation run starts with. Exact ndv costs an Expand
+    (documented); the approx=True HLL path is the scale mode,
+    bounds-pinned in pytest."""
+    from spanmarkerner_spark.operators.profiling import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------
@@ -5384,7 +5436,7 @@ _NEXT_ROTATION = [
     # at sf0.001/0.01/0.1 required by tools/strict_check.py before
     # registration; first in line for the next driver window):
     "graph_bfs_dist", "graph_ppr", "kg_dict_encode", "kg_star_join",
-    "kg_entity_types",
+    "kg_entity_types", "profile_documents",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green

@@ -104,6 +104,37 @@ def dict_encode_triples(
     return {"terms": terms, "preds": preds, "encoded": encoded}
 
 
+def extend_dictionary(
+    terms: DataFrame, new_triples: DataFrame, buckets: int = 64
+) -> DataFrame:
+    """Incremental dictionary growth for the next epoch: terms in
+    `new_triples` (subj UNION obj) that are absent from the existing
+    dictionary get fresh dense ids starting at max(tid) + 1 (ranked
+    among themselves with the same boundary-invariant dense_ids
+    pass); existing ids never change — downstream encoded tables and
+    graph stores stay valid across epochs, which is the whole point
+    of dictionary stability in an RDF warehouse.
+
+    Returns the EXTENDED dictionary (old rows + new rows). Scale: the
+    anti-join streams the (small) new-epoch vocabulary against the
+    dictionary; the max(tid) scalar is one broadcastable row."""
+    new_terms = (
+        new_triples.select(F.col("subj").alias("term"))
+        .union(new_triples.select(F.col("obj").alias("term")))
+        .distinct()
+        .join(terms.select("term"), "term", "left_anti")
+    )
+    base = terms.agg(
+        F.coalesce(F.max("tid"), F.lit(0)).cast("long").alias("_base")
+    )
+    fresh = (
+        dense_ids(new_terms, "term", id_col="_rk", buckets=buckets)
+        .crossJoin(F.broadcast(base))
+        .select("term", (F.col("_rk") + F.col("_base")).alias("tid"))
+    )
+    return terms.unionByName(fresh)
+
+
 def star_join(
     encoded: DataFrame, p_a: int, p_b: int, obj_b: int
 ) -> DataFrame:

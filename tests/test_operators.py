@@ -2246,3 +2246,33 @@ def test_entity_type_majority_vote_and_minority_share(spark):
         2: ("org", 1, 2, 500000),
         3: ("product", 1, 1, 0),
     }
+
+
+def test_profile_columns_exact_and_nulls(spark):
+    from spanmarkerner_spark.operators.profiling import profile_columns
+
+    rows = [(1, "a"), (2, None), (2, "b"), (None, "a")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = {
+        r["col_name"]: (
+            r["n_rows"], r["n_nulls"], r["ndv"], r["min_str"], r["max_str"]
+        )
+        for r in profile_columns(df).collect()
+    }
+    assert got == {
+        "k": (4, 1, 2, "1", "2"),
+        "v": (4, 1, 2, "a", "b"),
+    }
+
+
+def test_profile_columns_approx_hll_within_rsd(spark):
+    from spanmarkerner_spark.operators.profiling import profile_columns
+
+    df = spark.range(5000).selectExpr("id AS k", "CAST(id % 500 AS STRING) AS v")
+    got = {
+        r["col_name"]: r["ndv"]
+        for r in profile_columns(df, approx=True).collect()
+    }
+    # HLL++ default rsd = 5%; allow 3 sigma
+    assert abs(got["k"] - 5000) <= 0.15 * 5000
+    assert abs(got["v"] - 500) <= 0.15 * 500
