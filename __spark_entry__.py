@@ -5111,6 +5111,60 @@ def graph_bfs_dist(spark, sf_dir):
     return bfs_distances(edges, seeds, max_dist=3)
 
 
+from spanmarkerner_spark.functions.hashing import portable_hash64_sql as _ph_sql
+
+
+def _walks_sql(walk_len: int, salt: str = "walk") -> str:
+    """DuckDB mirror of operators/graph.random_walks over the
+    successor graph: ranked-neighbor + degree tables once, then each
+    step unrolled as a CTE picking rank (hash(walk_id:t) % deg) + 1 —
+    the same portable md5 hash as the Spark side."""
+    ctes = [
+        _SUCC_EDGES_SQL,
+        # denser seed set than BFS/PPR (% 101 vs % 1009): one walk per
+        # seed, so the corpus needs more walks to exercise early
+        # endings and rank picks at sf0.001 (2 / 20 / 199 seeds)
+        "seeds AS (SELECT DISTINCT src AS node FROM e"
+        " WHERE src % 101 = 1)",
+        "nb AS (SELECT src, dst, row_number() OVER ("
+        "  PARTITION BY src ORDER BY dst)::BIGINT AS rn FROM e)",
+        "dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "c0 AS (SELECT node AS walk_id, node FROM seeds)",
+    ]
+    for t in range(1, walk_len + 1):
+        h = _ph_sql(f"concat(c.walk_id, ':', {t})", salt=salt)
+        ctes.append(
+            f"c{t} AS (SELECT c.walk_id, nb.dst AS node"
+            f"   FROM c{t - 1} c JOIN dg ON c.node = dg.src"
+            f"   JOIN nb ON nb.src = c.node"
+            f"   AND nb.rn = ({h} % dg.deg) + 1)"
+        )
+    steps = [
+        "SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM c0"
+    ] + [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM c{t}"
+        for t in range(1, walk_len + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(steps)
+
+
+@_q("graph_random_walks", _walks_sql(walk_len=4))
+def graph_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus (one 4-step walk per
+    seed, neighbor picked by portable hash of (walk_id, step) over
+    dst-ranked neighbors) — reproducible graph-embedding pretraining
+    data; walks end early at out-degree-0 nodes. Ranked-neighbor and
+    degree tables built once; each step moves only the thin frontier.
+    Steps value-pinned by the unrolled CTE oracle."""
+    from spanmarkerner_spark.operators.graph import random_walks
+
+    edges = _succ_edges(spark, sf_dir)
+    seeds = edges.filter(F.col("src") % 101 == 1).select(
+        F.col("src").alias("node")
+    )
+    return random_walks(edges, seeds, walk_len=4)
+
+
 @_q("graph_ppr", _ppr_sql(iters=3))
 def graph_ppr(spark, sf_dir):
     """Personalized PageRank (3 rounds, d=0.85, teleport onto the
@@ -5262,8 +5316,6 @@ def kg_star_join(spark, sf_dir):
 
 
 # ---- round-5 twelfth wave: entity-type consistency --------------------
-
-from spanmarkerner_spark.functions.hashing import portable_hash64_sql as _ph_sql
 
 _TYPE_FLIP_SQL = (
     "CASE WHEN "
@@ -5436,7 +5488,7 @@ _NEXT_ROTATION = [
     # at sf0.001/0.01/0.1 required by tools/strict_check.py before
     # registration; first in line for the next driver window):
     "graph_bfs_dist", "graph_ppr", "kg_dict_encode", "kg_star_join",
-    "kg_entity_types", "profile_documents",
+    "kg_entity_types", "profile_documents", "graph_random_walks",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green

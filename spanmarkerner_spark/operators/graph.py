@@ -448,3 +448,73 @@ def personalized_pagerank(
             .filter(F.col("r") > 0)
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    walk_len: int = 4,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic random-walk corpus generation — the walk-sampling
+    stage of DeepWalk/node2vec-style graph embeddings (Perozzi et al.
+    2014): one walk per seed node, each step choosing an out-neighbor
+    "uniformly" via a PORTABLE hash of (walk_id, step) — so the walk
+    corpus is bit-identical across engines, executors, and reruns
+    (reproducible embedding pretraining data), and the DuckDB oracle
+    unrolls the steps as CTE pairs.
+
+    Step rule: neighbors of each node are ranked 1..deg by dst ASC
+    (total order); step t moves to rank
+        (portable_hash64(walk_id || ':' || t, salt) % deg) + 1.
+    A walk that reaches a node with no out-edges ends early (the join
+    drops it) — standard for directed web graphs.
+
+    Returns (walk_id, step, node), step 0 = the seed.
+
+    Scale design (10^10-edge graph): the ranked neighbor table and
+    degree table are computed ONCE (two keyed shuffles over edges,
+    both map-side-combinable / window-local) and are static across
+    steps; each step then moves only the thin (walk_id, node) frontier
+    to the neighbor partitioning — per-step bytes ∝ active walks, not
+    edges, exactly like bfs_distances. Hot nodes (celebrity pages)
+    skew the frontier join: AQE skew split or the salting pattern of
+    operators/skew.py applies unchanged."""
+    from pyspark.sql import Window
+
+    from spanmarkerner_spark.functions.hashing import portable_hash64
+
+    w = Window.partitionBy("src").orderBy("dst")
+    nbr = edges.select(
+        "src", "dst", F.row_number().over(w).cast("long").alias("rn")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    cur = seeds.select("node").distinct().select(
+        F.col("node").alias("walk_id"), F.col("node")
+    )
+    out = cur.select(
+        "walk_id", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for t in range(1, walk_len + 1):
+        pick = cur.join(
+            deg.select(F.col("src").alias("node"), "deg"), "node"
+        ).select(
+            "walk_id",
+            F.col("node").alias("src"),
+            (
+                portable_hash64(
+                    F.concat_ws(":", F.col("walk_id"), F.lit(t)), salt=salt
+                )
+                % F.col("deg")
+                + 1
+            ).alias("rn"),
+        )
+        cur = pick.join(nbr, ["src", "rn"]).select(
+            "walk_id", F.col("dst").alias("node")
+        )
+        out = out.unionByName(
+            cur.select(
+                "walk_id", F.lit(t).cast("long").alias("step"), "node"
+            )
+        )
+    return out

@@ -281,3 +281,43 @@ def test_extend_dictionary_stable_ids_and_fresh_ranks(spark):
         for r in extend_dictionary(store["terms"], epoch1).collect()
     }
     assert again == {"a": 1, "c": 2, "e": 3}
+
+
+def test_random_walks_match_python_twin_and_end_early(spark):
+    import hashlib
+
+    from spanmarkerner_spark.operators.graph import random_walks
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]  # 4 is a sink
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(df, seeds, walk_len=6).collect()
+    )
+
+    def h(walk_id, t):
+        s = f"walk|{walk_id}:{t}".encode()
+        return int(hashlib.md5(s).hexdigest()[:15], 16)
+
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+    for s in nbrs:
+        nbrs[s].sort()
+    want, cur = [(0, 0, 0)], 0
+    for t in range(1, 7):
+        if cur not in nbrs:
+            break  # walk ends at the sink
+        cur = nbrs[cur][h(0, t) % len(nbrs[cur])]
+        want.append((0, t, cur))
+    assert got == sorted(want)
+    # the walk must actually end early: node 4 has no out-edges and
+    # the graph is a DAG of depth 3, so a 6-step walk cannot be full
+    assert len(got) < 7
+    # deterministic across parallelism
+    got2 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(df.repartition(8), seeds, walk_len=6).collect()
+    )
+    assert got2 == got
