@@ -321,3 +321,71 @@ def test_random_walks_match_python_twin_and_end_early(spark):
         for r in random_walks(df.repartition(8), seeds, walk_len=6).collect()
     )
     assert got2 == got
+
+
+def test_ppr_support_within_bfs_radius_randomized(spark):
+    """Cross-operator invariant: after k rounds, personalized-PageRank
+    mass can only sit on nodes within k hops of the seed set — PPR's
+    support must be a subset of the BFS-reachable ball. Randomized
+    graph, fixed seed."""
+    import random
+
+    from spanmarkerner_spark.operators.graph import (
+        bfs_distances,
+        personalized_pagerank,
+    )
+
+    rnd = random.Random(20260818)
+    n = 40
+    edges = list({
+        (rnd.randrange(n), rnd.randrange(n)) for _ in range(120)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    dist = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, seeds, max_dist=3).collect()
+    }
+    ranks = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, iters=3).collect()
+    }
+    assert set(ranks) <= set(dist), (
+        "PPR mass outside the 3-hop BFS ball"
+    )
+    # and BFS itself agrees with a python twin
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    want, frontier = {0: 0, 7: 0}, [0, 7]
+    for d in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in want:
+                    want[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert dist == want
+
+
+def test_dense_ids_randomized_against_sorted_rank(spark):
+    import random
+
+    from spanmarkerner_spark.plans.dict_store import dense_ids
+
+    rnd = random.Random(99)
+    vals = list({f"w{rnd.randrange(10**6):06d}" for _ in range(700)})
+    # include duplicates in the INPUT (dense_ids must distinct first)
+    rows = [(v,) for v in vals] + [(v,) for v in rnd.sample(vals, 50)]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "term string").repartition(13)
+    got = {
+        r["term"]: r["tid"]
+        for r in dense_ids(df, "term", buckets=7).collect()
+    }
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == want
