@@ -157,7 +157,7 @@ def test_registration_order_no_dupes_and_rotation_coverage():
     # bound chosen so the queue stays one round's worth of rotation:
     # the round-6 window frees ~40 slots once r5 rows land (the
     # 50-row cap comfortably covers the queue even after the
-    # ninth-wave additions)
+    # twelfth-wave additions)
     assert len(allowed) <= 16, f"_NEXT_ROTATION too large: {sorted(allowed)}"
     assert set(allowed) <= set(names), "_NEXT_ROTATION names must be registered"
     leak = [n for n in never if n not in allowed]

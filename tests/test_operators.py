@@ -2276,3 +2276,51 @@ def test_profile_columns_approx_hll_within_rsd(spark):
     # HLL++ default rsd = 5%; allow 3 sigma
     assert abs(got["k"] - 5000) <= 0.15 * 5000
     assert abs(got["v"] - 500) <= 0.15 * 500
+
+
+def test_dict_encoded_graph_store_two_hop_roundtrip(spark, tmp_path):
+    """Composition pin: dictionary-encode a string triple set, build
+    the doubly-bucketed graph store over the INT-KEY edges (8-byte
+    bucket keys instead of URLs — the production layout), run the
+    exchange-free two-hop, then decode through the dictionary: the
+    paths equal the string-space self-join twin."""
+    from spanmarkerner_spark.plans.dict_store import dict_encode_triples
+    from spanmarkerner_spark.plans.graph_store import two_hop, write_graph_store
+
+    tri = spark.createDataFrame(
+        [
+            ("alice", "works_for", "acme"),
+            ("acme", "located_in", "berlin"),
+            ("acme", "acquired", "duke"),
+            ("duke", "located_in", "essen"),
+            ("berlin", "makes", "alice"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    store = dict_encode_triples(tri)
+    enc = store["encoded"].selectExpr(
+        "s_id AS subj", "p_id AS pred", "o_id AS obj"
+    )
+    write_graph_store(enc, "t_encg", str(tmp_path / "encg"), n_buckets=4)
+    try:
+        paths = two_hop(spark, "t_encg")
+        plan = paths._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        terms = {r["tid"]: r["term"] for r in store["terms"].collect()}
+        preds = {r["pid"]: r["pred"] for r in store["preds"].collect()}
+        got = {
+            (
+                terms[r["src"]], preds[r["pred1"]], terms[r["mid"]],
+                preds[r["pred2"]], terms[r["dst"]],
+            )
+            for r in paths.collect()
+        }
+        e = [tuple(r) for r in tri.collect()]
+        want = {
+            (a[0], a[1], a[2], b[1], b[2])
+            for a in e for b in e if a[2] == b[0]
+        }
+        assert got == want and len(got) == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_encg_by_subj")
+        spark.sql("DROP TABLE IF EXISTS t_encg_by_obj")
