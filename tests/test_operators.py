@@ -2324,3 +2324,46 @@ def test_dict_encoded_graph_store_two_hop_roundtrip(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_encg_by_subj")
         spark.sql("DROP TABLE IF EXISTS t_encg_by_obj")
+
+
+def test_encode_micro_batch_epoch_stable_ids_and_retry(spark, tmp_path):
+    """Streaming dictionary maintenance: epoch deltas are append-only
+    (old ids never move), the encoded sink is epoch-partitioned, and
+    a replayed epoch (foreachBatch retry) rewrites identical content
+    — no duplicate ids, no duplicate encoded rows."""
+    from spanmarkerner_spark.plans.dict_store import encode_micro_batch
+
+    dict_dir = str(tmp_path / "dict")
+    out_dir = str(tmp_path / "enc")
+    e1 = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    encode_micro_batch(e1, 1, dict_dir, out_dir)
+    d1 = {r["term"]: r["tid"] for r in spark.read.parquet(dict_dir).collect()}
+    assert d1 == {"a": 1, "b": 2, "c": 3}
+
+    e2 = spark.createDataFrame(
+        [("c", "p", "d"), ("a", "p", "d")],
+        "subj string, pred string, obj string",
+    )
+    encode_micro_batch(e2, 2, dict_dir, out_dir)
+    d2 = {r["term"]: r["tid"] for r in spark.read.parquet(dict_dir).collect()}
+    assert d2 == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+    def read_enc():
+        return sorted(
+            (r["epoch_id"], r["s_id"], r["pred"], r["o_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    want = sorted(
+        [(1, 1, "p", 2), (1, 2, "q", 3), (2, 3, "p", 4), (2, 1, "p", 4)]
+    )
+    assert read_enc() == want
+
+    # retry epoch 2: same dictionary, same encoded rows, no dupes
+    encode_micro_batch(e2, 2, dict_dir, out_dir)
+    d2r = {r["term"]: r["tid"] for r in spark.read.parquet(dict_dir).collect()}
+    assert d2r == d2
+    assert read_enc() == want
