@@ -27,6 +27,20 @@ range shuffle of the (distinct) vocabulary, which is orders of
 magnitude smaller than the triple table. The encode joins are plain
 keyed joins on the term; at 10^12 triples the dictionary is usually
 still shuffle-join-sized, so no broadcast is forced (AQE decides).
+
+Correctness dependency, pinned by
+tests/test_graph.py::test_dense_ids_single_shared_range_exchange:
+the per-partition COUNTS branch and the RANK branch must observe the
+SAME range boundaries and the same AQE partition coalescing. Both
+branches reference one plan subtree, so Spark's exchange reuse
+(`spark.sql.exchange.reuse`, on by default) executes the range
+shuffle ONCE (the second consumer is a ReusedExchange), and AQE's
+coalescing is a deterministic function of that single exchange's map
+stats — every reader sees identical partition ids. Were the exchange
+ever duplicated instead of reused, each copy would re-sample its own
+boundaries (RangePartitioner's reservoir seed varies per RDD
+instantiation) and the offsets would no longer match the ranked
+partitions — hence the plan pin.
 """
 
 from __future__ import annotations

@@ -389,3 +389,44 @@ def test_dense_ids_randomized_against_sorted_rank(spark):
     }
     want = {v: i + 1 for i, v in enumerate(sorted(vals))}
     assert got == want
+
+
+def test_dense_ids_single_shared_range_exchange(spark):
+    """dense_ids' counts branch and rank branch must read ONE shared
+    range exchange (module docstring: duplicated exchanges would
+    re-sample their own boundaries and corrupt the offsets). Pin:
+    the executed plan contains a ReusedExchange and exactly one
+    EXECUTED rangepartitioning exchange."""
+    from spanmarkerner_spark.plans.dict_store import dense_ids
+
+    df = spark.createDataFrame(
+        [(f"t{i:04d}",) for i in range(300)], "term string"
+    ).repartition(5)
+    out = dense_ids(df, "term", buckets=8)
+    out.collect()
+    jplan = out._jdf.queryExecution().executedPlan()
+
+    def walk(jp):
+        cls = jp.getClass().getSimpleName()
+        yield cls, jp
+        if cls == "AdaptiveSparkPlanExec":
+            yield from walk(jp.executedPlan())
+        elif cls.endswith("QueryStageExec"):
+            yield from walk(jp.plan())
+        elif cls == "ReusedExchangeExec":
+            return
+        ch = jp.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    nodes = list(walk(jplan))
+    names = [c for c, _ in nodes]
+    range_exchanges = [
+        jp for c, jp in nodes
+        if c == "ShuffleExchangeExec"
+        and "rangepartitioning" in jp.toString().splitlines()[0].lower()
+    ]
+    assert names.count("ReusedExchangeExec") >= 1, names
+    assert len(range_exchanges) == 1, [
+        jp.toString().splitlines()[0] for jp in range_exchanges
+    ]
