@@ -415,3 +415,34 @@ def test_anchor_prior_matches_python_oracle(spark):
     want = {(a, h): (n, tot[a], n * 1_000_000 // tot[a])
             for (a, h), n in cnt.items()}
     assert got == want
+
+
+# ---- dense_ids (dictionary id assignment) ----------------------------
+
+
+def test_dense_ids_matches_python_sorted_rank_unicode(spark):
+    """Seeded randomized unicode vocabulary (mixed scripts, combining
+    marks, astral-plane codepoints): dense_ids must equal the python
+    sorted() rank — Spark's UTF8 binary string ordering and python's
+    codepoint ordering agree for valid UTF-8, which this pins."""
+    from spanmarkerner_spark.plans.dict_store import dense_ids
+
+    rnd = random.Random(424242)
+    alphabet = (
+        "abcXYZ019 _-:/" "äöüßéñç" "αβγΩ" "русский" "中文字" "🌍🚀"
+        "́é"
+    )
+    vocab = list({
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 12)))
+        for _ in range(400)
+    })
+    rows = [(v,) for v in vocab]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "term string").repartition(9)
+    for buckets in (3, 16):
+        got = {
+            r["term"]: r["tid"]
+            for r in dense_ids(df, "term", buckets=buckets).collect()
+        }
+        want = {v: i + 1 for i, v in enumerate(sorted(vocab))}
+        assert got == want, f"buckets={buckets}"
