@@ -1,0 +1,149 @@
+"""Incremental entity-canonicalization registry (plans/entity_registry).
+
+Contract under test: after folding alias rows in over N epochs, read-
+time resolution through the merge forest equals the BATCH
+canonicalization (pipeline.apply_canonicalize = connected-components
+min over all alias-ambiguity edges) of the union of those epochs —
+including the adversarial ordering where a late epoch's alias bridges
+two components that every earlier epoch kept distinct.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from spanmarkerner_spark import schemas
+from spanmarkerner_spark.datagen import alias_rows
+from spanmarkerner_spark.pipeline import apply_canonicalize
+from spanmarkerner_spark.plans.entity_registry import (
+    registry_micro_batch,
+    resolve_entities,
+)
+
+
+def _alias_df(spark, rows):
+    return spark.createDataFrame(
+        [(a, e, f"Canon{e}", 0.9) for a, e in rows], schema=schemas.ALIAS_DICT
+    )
+
+
+def _batch_canonical(spark, rows):
+    """Ground truth: batch CC-min over the full alias set — the
+    orig -> canonical mapping for every entity id in the dictionary."""
+    full = _alias_df(spark, rows)
+    ents = full.select("entity_id").distinct().withColumn(
+        "orig", F.col("entity_id")
+    )
+    out = apply_canonicalize(ents, full)
+    return {r["orig"]: r["entity_id"] for r in out.collect()}
+
+
+def _registry_mapping(spark, reg_dir, entity_ids):
+    df = spark.createDataFrame(
+        [(e,) for e in entity_ids], "entity_id long"
+    ).withColumn("orig", F.col("entity_id"))
+    res = resolve_entities(df, reg_dir)
+    return {r["orig"]: r["entity_id"] for r in res.collect()}
+
+
+def test_late_epoch_bridges_prior_components(spark, tmp_path):
+    """Epochs 1+2 build two separate components; epoch 3's single
+    alias merges them. Registry resolution must equal batch CC over
+    the union, and must route everything to the global min id."""
+    reg = str(tmp_path / "reg")
+    e1 = [("acme", 10), ("acme", 20)]          # {10,20}
+    e2 = [("globex", 30), ("globex", 40)]      # {30,40}
+    e3 = [("the firm", 20), ("the firm", 30)]  # bridge -> {10,20,30,40}
+    for i, rows in enumerate([e1, e2, e3], start=1):
+        registry_micro_batch(_alias_df(spark, rows), i, reg)
+        got = _registry_mapping(spark, reg, [10, 20, 30, 40])
+        # compare against batch over the UNION of epochs seen so far
+        union = (e1 + e2 + e3)[: 2 * i]
+        want = _batch_canonical(spark, union)
+        for ent, root in want.items():
+            assert got[ent] == root, (i, ent, got, want)
+    # final state: one component rooted at the global min
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10}
+
+
+def test_registry_equals_batch_on_datagen_dict(spark, tmp_path):
+    """Split the real datagen alias dictionary into 3 hash-assigned
+    epochs (so ambiguous aliases straddle epochs) and pin resolution
+    == apply_canonicalize over the full dictionary for EVERY entity."""
+    reg = str(tmp_path / "reg")
+    rows = [(a, e) for (a, e, _c, _p) in alias_rows()]
+    epochs = {i: [] for i in range(3)}
+    for j, r in enumerate(rows):
+        epochs[j % 3].append(r)
+    for i in range(3):
+        registry_micro_batch(_alias_df(spark, epochs[i]), i, reg)
+    ents = sorted({e for _a, e in rows})
+    got = _registry_mapping(spark, reg, ents)
+    want = _batch_canonical(spark, rows)
+    assert got == want
+    # sanity: the dictionary is actually ambiguous enough to merge
+    assert any(got[e] != e for e in ents)
+
+
+def test_registry_epoch_retry_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (foreachBatch retry) must leave both state
+    tables byte-identical: deltas are dynamic-partition overwrites
+    computed from prior-epoch state only."""
+    reg = str(tmp_path / "reg")
+    e1 = [("acme", 10), ("acme", 20), ("x", 50)]
+    e2 = [("acme", 5), ("y", 50), ("y", 60)]
+    registry_micro_batch(_alias_df(spark, e1), 1, reg)
+    registry_micro_batch(_alias_df(spark, e2), 2, reg)
+
+    def snapshot():
+        m = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{reg}/merges").collect()
+        )
+        a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{reg}/alias_rep").collect()
+        )
+        return m, a
+
+    before = snapshot()
+    registry_micro_batch(_alias_df(spark, e2), 2, reg)  # retry
+    assert snapshot() == before
+    # epoch 2's smaller id (5) must have become the component root
+    got = _registry_mapping(spark, reg, [5, 10, 20, 50, 60])
+    assert got == {5: 5, 10: 5, 20: 5, 50: 50, 60: 50}
+
+
+def test_stream_alias_to_registry_matches_batch(spark, tmp_path):
+    """End-to-end through Structured Streaming: two alias files
+    arrive as separate micro-batches (maxFilesPerTrigger=1); the
+    folded registry must equal batch canonicalization of the union."""
+    from spanmarkerner_spark.plans.entity_registry import (
+        stream_alias_to_registry,
+    )
+
+    src = str(tmp_path / "src")
+    reg = str(tmp_path / "reg")
+    ckpt = str(tmp_path / "ckpt")
+    f1 = [("acme", 10), ("acme", 20)]
+    f2 = [("globex", 30), ("globex", 20)]
+    for i, rows in enumerate([f1, f2]):
+        spark.createDataFrame(rows, "alias string, entity_id long").coalesce(
+            1
+        ).write.parquet(src, mode="append" if i else "overwrite")
+    q = stream_alias_to_registry(spark, src, reg, ckpt)
+    q.awaitTermination(300)
+    got = _registry_mapping(spark, reg, [10, 20, 30])
+    assert got == _batch_canonical(spark, f1 + f2)
+    assert got == {10: 10, 20: 10, 30: 10}
+
+
+def test_resolution_is_noop_without_merges(spark, tmp_path):
+    """A registry holding only unambiguous aliases produces no merge
+    records and resolution is the identity."""
+    reg = str(tmp_path / "reg")
+    registry_micro_batch(
+        _alias_df(spark, [("a", 1), ("b", 2)]), 1, reg
+    )
+    got = _registry_mapping(spark, reg, [1, 2, 3])
+    assert got == {1: 1, 2: 2, 3: 3}
