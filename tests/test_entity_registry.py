@@ -147,3 +147,61 @@ def test_resolution_is_noop_without_merges(spark, tmp_path):
     )
     got = _registry_mapping(spark, reg, [1, 2, 3])
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_registry_resolution_survives_epoch_compaction(spark, tmp_path):
+    """compact_epochs (plans/compaction.py) bin-packs the registry's
+    many tiny epoch deltas; the merge forest's CONTENT — and therefore
+    every resolution — must be unchanged (partition values preserved,
+    only file packing changes)."""
+    from spanmarkerner_spark.plans.compaction import compact_epochs
+
+    reg = str(tmp_path / "reg")
+    rows = [(a, e) for (a, e, _c, _p) in alias_rows()]
+    for i in range(6):  # many tiny epochs -> many small files
+        registry_micro_batch(
+            _alias_df(spark, rows[i::6]), i, reg
+        )
+    ents = sorted({e for _a, e in rows})
+    before = _registry_mapping(spark, reg, ents)
+    for table in ("merges", "alias_rep"):
+        compact_epochs(
+            spark, f"{reg}/{table}", target_mb=128, partition_col="epoch"
+        )
+        # bin-packing must collapse each table to <=1 file per epoch
+        import glob
+        per_epoch = glob.glob(f"{reg}/{table}/epoch=*/*.parquet")
+        epochs = glob.glob(f"{reg}/{table}/epoch=*")
+        assert len(per_epoch) <= len(epochs)
+    assert _registry_mapping(spark, reg, ents) == before
+    assert before == _batch_canonical(spark, rows)
+
+
+def test_registry_canonicalizes_real_pipeline_output(spark):
+    """End-to-end against the REAL NER->linking output: build the
+    registry from the datagen alias dictionary split into two epochs,
+    resolve the pipeline's linked mentions through it, and pin
+    equality with the batch canonicalize stage on every mention."""
+    import tempfile
+
+    from spanmarkerner_spark.datagen import gen_pages
+    from spanmarkerner_spark.pipeline import run_pipeline
+
+    rows = gen_pages(20, seed=11)
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    res = run_pipeline(pages, num_partitions=4)
+    linked = res["linked"].select(
+        "url", "sentence_id", "word_start_index", "entity_id"
+    ).cache()
+    dict_rows = [(a, e) for (a, e, _c, _p) in alias_rows()]
+    full = _alias_df(spark, dict_rows)
+    with tempfile.TemporaryDirectory() as td:
+        reg = f"{td}/reg"
+        registry_micro_batch(_alias_df(spark, dict_rows[0::2]), 0, reg)
+        registry_micro_batch(_alias_df(spark, dict_rows[1::2]), 1, reg)
+        via_registry = {
+            tuple(r) for r in resolve_entities(linked, reg).collect()
+        }
+    via_batch = {tuple(r) for r in apply_canonicalize(linked, full).collect()}
+    assert via_registry == via_batch and len(via_batch) > 0
+    linked.unpersist()
