@@ -149,6 +149,52 @@ def test_resolution_is_noop_without_merges(spark, tmp_path):
     assert got == {1: 1, 2: 2, 3: 3}
 
 
+def test_registry_matches_union_find_on_random_dictionaries(spark, tmp_path):
+    """Randomized invariant: for seeded random (alias, entity) sets
+    split into random epochs, registry resolution equals a python
+    union-find (min-root) over the full alias graph — the same
+    randomized-oracle pattern as the other cross-operator invariant
+    tests. Catches ordering/merge-chain bugs no hand-picked case
+    would."""
+    import random
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        n_alias, n_ent = 12, 25
+        rows = sorted(
+            {
+                (f"a{rng.randrange(n_alias)}", rng.randrange(1, n_ent + 1))
+                for _ in range(40)
+            }
+        )
+        n_epochs = rng.randrange(2, 5)
+        epochs = {i: [] for i in range(n_epochs)}
+        for r in rows:
+            epochs[rng.randrange(n_epochs)].append(r)
+        reg = str(tmp_path / f"reg{seed}")
+        for i in range(n_epochs):
+            registry_micro_batch(_alias_df(spark, epochs[i] or []), i, reg)
+        # python union-find oracle (min root) over the full alias graph
+        parent = {e: e for e in range(1, n_ent + 1)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        by_alias = {}
+        for a, e in rows:
+            by_alias.setdefault(a, []).append(e)
+        for ents in by_alias.values():
+            roots = sorted({find(e) for e in ents})
+            for r in roots[1:]:
+                parent[r] = roots[0]
+        want = {e: find(e) for e in range(1, n_ent + 1)}
+        got = _registry_mapping(spark, reg, list(range(1, n_ent + 1)))
+        assert got == want, (seed, got, want)
+
+
 def test_registry_resolution_survives_epoch_compaction(spark, tmp_path):
     """compact_epochs (plans/compaction.py) bin-packs the registry's
     many tiny epoch deltas; the merge forest's CONTENT — and therefore
