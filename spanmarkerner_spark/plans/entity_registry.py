@@ -131,8 +131,14 @@ def registry_micro_batch(
     new = batch_df.select("alias", "entity_id").distinct()
     new_r = _resolve(new, mapping, "entity_id")
     # star edges to the (resolved) prior representative of each
-    # already-known alias...
-    rep_r = _resolve(prior_rep, mapping, "entity_id").withColumnRenamed(
+    # already-known alias — restrict the rep table to the batch's
+    # aliases FIRST (one keyed join; AQE broadcasts the small batch
+    # side), so the merge-mapping resolve touches only the aliases
+    # this epoch actually mentions, not the whole dictionary
+    touched = prior_rep.join(
+        new.select("alias").distinct(), "alias", "left_semi"
+    )
+    rep_r = _resolve(touched, mapping, "entity_id").withColumnRenamed(
         "entity_id", "rep_root"
     )
     e_known = new_r.join(rep_r, "alias").select(
