@@ -174,8 +174,66 @@ def registry_micro_batch(
                 .parquet(path)
             )
     finally:
-        if prev is not None:
+        if prev is None:
+            sp.conf.unset(key)
+        else:
             sp.conf.set(key, prev)
+
+
+def compact_merge_forest(spark: SparkSession, reg_dir: str) -> int:
+    """Path-compress the merge forest: rewrite merges/ so every loser
+    points DIRECTLY at its final root (depth-1 chains). Over years of
+    epochs merge chains deepen and read-side resolution pays one
+    pointer-jumping round per doubling of chain depth; after
+    compaction it converges in one. Content contract: the
+    (node -> root) mapping is IDENTICAL before and after (pinned in
+    tests). Run between epochs (it rewrites the whole merges table
+    into the current max epoch's partition and drops older deltas —
+    the same run-quiesced discipline as plans/compaction's file
+    bin-packing; alias_rep/ is untouched). Returns the number of
+    merge records after compaction."""
+    mrg_dir = f"{reg_dir}/merges"
+    merges = _read_state(spark, mrg_dir, _MERGE_SCHEMA, -1)
+    mapping = _root_mapping(merges)
+    flat = (
+        mapping.filter(F.col("node") != F.col("root"))
+        .select(F.col("node").alias("loser"), F.col("root").alias("winner"))
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        max_epoch = (
+            spark.read.parquet(mrg_dir)
+            .agg(F.max("epoch"))
+            .collect()[0][0]
+        )
+    except AnalysisException:
+        max_epoch = None
+    if max_epoch is None:
+        return 0
+    # materialize BEFORE overwriting the directory being read
+    flat = flat.localCheckpoint(eager=True)
+    n = flat.count()
+    # STATIC overwrite on purpose: the whole table collapses into the
+    # max epoch's partition and older deltas are dropped (a prior
+    # micro-batch may have left the session conf on 'dynamic', which
+    # would keep them)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        (
+            flat.withColumn("epoch", F.lit(int(max_epoch)))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(mrg_dir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return n
 
 
 def resolve_entities(

@@ -223,6 +223,45 @@ def test_registry_resolution_survives_epoch_compaction(spark, tmp_path):
     assert before == _batch_canonical(spark, rows)
 
 
+def test_compact_merge_forest_flattens_chains_and_preserves_resolution(
+    spark, tmp_path
+):
+    """Build a deliberately deep merge chain (each epoch bridges the
+    current component to a SMALLER new entity, so every epoch adds one
+    merge hop: 50->40->30->20->10). compact_merge_forest must (a) keep
+    the resolution mapping identical, (b) leave every surviving merge
+    record pointing DIRECTLY at the final root (depth 1), and (c) keep
+    the registry ingestible afterwards (a later epoch merges on top of
+    the compacted forest)."""
+    from spanmarkerner_spark.plans.entity_registry import (
+        compact_merge_forest,
+    )
+
+    reg = str(tmp_path / "reg")
+    chain = [
+        [("a1", 50), ("a1", 40)],
+        [("a2", 40), ("a2", 30)],
+        [("a3", 30), ("a3", 20)],
+        [("a4", 20), ("a4", 10)],
+    ]
+    for i, rows in enumerate(chain):
+        registry_micro_batch(_alias_df(spark, rows), i, reg)
+    ents = [10, 20, 30, 40, 50]
+    before = _registry_mapping(spark, reg, ents)
+    assert before == {e: 10 for e in ents}
+    n = compact_merge_forest(spark, reg)
+    after_rows = spark.read.parquet(f"{reg}/merges").collect()
+    assert n == len(after_rows) == 4
+    assert all(r["winner"] == 10 for r in after_rows)  # depth 1
+    assert _registry_mapping(spark, reg, ents) == before
+    # ingestion continues on the compacted forest: epoch 9 bridges
+    # the settled component to an even smaller root
+    registry_micro_batch(_alias_df(spark, [("a5", 10), ("a5", 5)]), 9, reg)
+    assert _registry_mapping(spark, reg, ents + [5]) == {
+        e: 5 for e in ents + [5]
+    }
+
+
 def test_registry_canonicalizes_real_pipeline_output(spark):
     """End-to-end against the REAL NER->linking output: build the
     registry from the datagen alias dictionary split into two epochs,
