@@ -44,6 +44,22 @@ def escape_literal(col) -> Column:
     return F.regexp_replace(c, "\t", r"\\t")
 
 
+def _terms(
+    subj,
+    pred,
+    obj,
+    ent_base: str = "urn:kg:",
+    rel_base: str = "urn:rel:",
+    obj_is_literal: bool = False,
+) -> list[Column]:
+    o = (
+        F.concat(F.lit('"'), escape_literal(obj), F.lit('"'))
+        if obj_is_literal
+        else _iri(obj, ent_base)
+    )
+    return [_iri(subj, ent_base), _iri(pred, rel_base), o]
+
+
 def to_ntriples(
     subj,
     pred,
@@ -54,13 +70,9 @@ def to_ntriples(
 ) -> Column:
     """One N-Triples line per row: '<s> <p> <o> .' (entity object) or
     '<s> <p> "o" .' (literal object, e.g. attribute values)."""
-    o = (
-        F.concat(F.lit('"'), escape_literal(obj), F.lit('"'))
-        if obj_is_literal
-        else _iri(obj, ent_base)
-    )
     return F.concat_ws(
-        " ", _iri(subj, ent_base), _iri(pred, rel_base), o, F.lit(".")
+        " ", *_terms(subj, pred, obj, ent_base, rel_base, obj_is_literal),
+        F.lit(".")
     )
 
 
@@ -75,4 +87,24 @@ def ntriples_lines(
     N-Triples export; map-only, partitioning preserved."""
     return triples.select(
         to_ntriples(F.col(subj), F.col(pred), F.col(obj), **kw).alias("line")
+    )
+
+
+def nquads_lines(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    graph: str = "url",
+    graph_base: str = "urn:src:",
+    **kw,
+) -> DataFrame:
+    """N-Quads: N-Triples plus a fourth graph/context IRI per line —
+    the provenance form (which page asserted this fact), matching the
+    triple table's url column. Same codegen-only contract."""
+    terms = _terms(F.col(subj), F.col(pred), F.col(obj), **kw)
+    return triples.select(
+        F.concat_ws(
+            " ", *terms, _iri(F.col(graph), graph_base), F.lit(".")
+        ).alias("line")
     )

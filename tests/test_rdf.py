@@ -66,6 +66,22 @@ def test_ntriples_literal_objects_escape_in_order(spark):
         assert "\n" not in r["line"] and "\t" not in r["line"]
 
 
+def test_nquads_carries_provenance_graph_term(spark):
+    from spanmarkerner_spark.functions.rdf import nquads_lines
+
+    df = spark.createDataFrame(
+        [("Alice Smith", "knows", "Bob", "https://ex.com/p?q=1&r=2")],
+        "subj string, pred string, obj string, url string",
+    )
+    [r] = nquads_lines(df).collect()
+    assert r["line"] == (
+        f"{_py_iri('Alice Smith', 'urn:kg:')} "
+        f"{_py_iri('knows', 'urn:rel:')} "
+        f"{_py_iri('Bob', 'urn:kg:')} "
+        f"{_py_iri('https://ex.com/p?q=1&r=2', 'urn:src:')} ."
+    )
+
+
 def test_ntriples_export_of_real_triples_is_parseable(spark, tmp_path):
     """Export the pipeline's triples as N-Triples text and re-parse
     every line with the grammar regex: IRIs contain no forbidden
