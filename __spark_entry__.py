@@ -5315,6 +5315,36 @@ def kg_star_join(spark, sf_dir):
     )
 
 
+@_q(
+    "kg_bgp_path",
+    f"WITH {_TRIPLE_T_SQL}\n"
+    "SELECT t2.obj AS n, t3.obj AS p, t1.subj AS s\n"
+    "FROM t t1 JOIN t t2 ON t1.subj = t2.subj\n"
+    "          JOIN t t3 ON t1.subj = t3.subj\n"
+    "WHERE t1.pred = 'supplies' AND t1.obj = 'P1'\n"
+    "  AND t2.pred = 'in_nation' AND t3.pred = 'supplies'",
+)
+def kg_bgp_path(spark, sf_dir):
+    """General basic-graph-pattern matching (operators/bgp.py): the
+    SPARQL conjunction `?s supplies P1 . ?s in_nation ?n .
+    ?s supplies ?p` compiled to keyed DataFrame joins — the
+    most-constant pattern anchors, each further pattern attaches on
+    its shared variables (greedy selectivity order), disconnected
+    products are refused. Generalizes kg_star_join from the fixed
+    two-pattern star to arbitrary patterns; oracle is the literal
+    3-way self-join. Bag semantics both sides (no DISTINCT)."""
+    from spanmarkerner_spark.operators.bgp import bgp_match
+
+    return bgp_match(
+        _tpch_triples(spark, sf_dir),
+        [
+            ("?s", "supplies", "P1"),
+            ("?s", "in_nation", "?n"),
+            ("?s", "supplies", "?p"),
+        ],
+    )
+
+
 # ---- round-5 twelfth wave: entity-type consistency --------------------
 
 _TYPE_FLIP_SQL = (
@@ -5512,6 +5542,8 @@ _NEXT_ROTATION = [
     "text_boolean_search", "text_bm25_topk", "embed_rand_proj",
     "graph_bfs_dist", "graph_ppr",
     "kg_entity_types", "profile_documents", "graph_random_walks",
+    # added after the final-window pass (same strict-local contract):
+    "kg_bgp_path",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green

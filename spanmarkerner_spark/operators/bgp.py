@@ -1,0 +1,116 @@
+"""Basic-graph-pattern matching over triple tables — the SPARQL
+query surface.
+
+A BGP is a list of (subj, pred, obj) patterns where a string starting
+with '?' is a variable and anything else (string, int — matching the
+store's key type) is a constant; the answer is the DataFrame of
+variable bindings satisfying ALL patterns, i.e. SPARQL's
+`SELECT * WHERE { p1 . p2 . ... }`. `plans/dict_store.star_join` is
+the two-pattern star special case; this compiles the general shape.
+
+Compilation is pure DataFrame algebra, one scan of the triple table
+per pattern:
+- constants become pushed-down filters on that pattern's scan
+  (Catalyst pushes them into the parquet reader; predicate constants
+  additionally enable partition/file pruning on pred-partitioned or
+  z-ordered stores — plans/layout.py);
+- a variable repeated WITHIN a pattern becomes an equality filter;
+- patterns join on their shared variables.
+
+Join ORDER is chosen greedily for a 100-TB store: start from the
+most-constant (most selective) pattern, then always attach the
+pattern sharing the most already-bound variables (ties broken by
+constant count) — so every join is keyed and the intermediate binding
+set only ever narrows or extends by keyed lookup. A pattern sharing
+NO variable with the bound set forces a product; that is a real
+cartesian in SPARQL semantics too, and this compiler REFUSES it
+unless allow_product=True (at web scale an accidental product is a
+job-killer; an intentional one is rare).
+
+Skew note: a hub entity (one celebrity id on the join variable)
+concentrates a key; the joins here are plain keyed equi-joins, so
+AQE's skew-join splitting applies unchanged (the same pin as
+tests/test_skew_canonical.py).
+
+Reference provenance: the reference has no query layer at all
+(span_marker/ emits predictions); this is the KG-side read surface
+its output feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COLS = ("subj", "pred", "obj")
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_frame(
+    triples: DataFrame, pat, cols=_COLS
+) -> tuple[DataFrame, set[str]]:
+    df = triples
+    seen: dict[str, str] = {}
+    for term, col in zip(pat, cols):
+        if _is_var(term):
+            v = term[1:]
+            if v in seen:
+                df = df.filter(F.col(col) == F.col(seen[v]))
+            else:
+                seen[v] = col
+        else:
+            df = df.filter(F.col(col) == F.lit(term))
+    return (
+        df.select([F.col(c).alias(v) for v, c in seen.items()]),
+        set(seen),
+    )
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple],
+    cols=_COLS,
+    allow_product: bool = False,
+) -> DataFrame:
+    """Bindings DataFrame (one column per distinct variable) for the
+    conjunction of patterns. Raises ValueError on an empty pattern
+    list, a pattern without variables (use a plain filter/count), or
+    a disconnected pattern set unless allow_product=True."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    frames = []
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be (s, p, o): {pat!r}")
+        f, vs = _pattern_frame(triples, pat, cols)
+        if not vs:
+            raise ValueError(
+                f"pattern {pat!r} binds no variable; filter the store "
+                "directly for existence checks"
+            )
+        n_const = 3 - sum(_is_var(t) for t in pat)
+        frames.append((f, vs, n_const))
+    # greedy: most-constant pattern first, then max shared vars
+    frames.sort(key=lambda t: -t[2])
+    out, bound, rest = frames[0][0], set(frames[0][1]), frames[1:]
+    while rest:
+        best_i = max(
+            range(len(rest)),
+            key=lambda i: (len(rest[i][1] & bound), rest[i][2]),
+        )
+        f, vs, _ = rest.pop(best_i)
+        shared = sorted(vs & bound)
+        if shared:
+            out = out.join(f, on=shared)
+        elif allow_product:
+            out = out.crossJoin(f)
+        else:
+            raise ValueError(
+                "disconnected BGP would require a cartesian product; "
+                "pass allow_product=True if intended"
+            )
+        bound |= vs
+    return out.select(*sorted(bound))

@@ -1,0 +1,123 @@
+"""BGP matcher (operators/bgp.py) vs a naive python binding oracle —
+bag semantics, join-order independence, product refusal, plan check."""
+
+from __future__ import annotations
+
+import pytest
+
+from spanmarkerner_spark.operators.bgp import bgp_match
+
+
+def _py_bgp(trips, pats):
+    binds = [{}]
+    for pat in pats:
+        nxt = []
+        for b in binds:
+            for row in trips:
+                bb, ok = dict(b), True
+                for term, val in zip(pat, row):
+                    if isinstance(term, str) and term.startswith("?"):
+                        v = term[1:]
+                        if v in bb and bb[v] != val:
+                            ok = False
+                            break
+                        bb[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(bb)
+        binds = nxt
+    vs = sorted({k for b in binds for k in b})
+    return sorted(tuple(b[v] for v in vs) for b in binds)
+
+
+TRIPS = [
+    ("alice", "knows", "bob"),
+    ("alice", "knows", "carol"),
+    ("bob", "knows", "carol"),
+    ("carol", "born_in", "paris"),
+    ("bob", "born_in", "paris"),
+    ("alice", "born_in", "lyon"),
+    ("paris", "in_country", "france"),
+    ("lyon", "in_country", "france"),
+    ("dave", "knows", "dave"),
+]
+
+
+def _spark_bgp(spark, pats, **kw):
+    df = spark.createDataFrame(TRIPS, "subj string, pred string, obj string")
+    out = bgp_match(df, pats, **kw)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_path_star_and_constants_match_python_oracle(spark):
+    cases = [
+        # 2-hop path
+        [("?a", "knows", "?b"), ("?b", "born_in", "?c")],
+        # 3-hop chain through two predicates
+        [
+            ("?a", "knows", "?b"),
+            ("?b", "born_in", "?c"),
+            ("?c", "in_country", "?d"),
+        ],
+        # star with a constant leaf
+        [("?p", "born_in", "paris"), ("?p", "knows", "?q")],
+        # fully-constant subject fan-out
+        [("alice", "knows", "?x"), ("?x", "born_in", "?city")],
+        # variable predicate
+        [("bob", "?rel", "?x")],
+    ]
+    for pats in cases:
+        assert _spark_bgp(spark, pats) == _py_bgp(TRIPS, pats), pats
+
+
+def test_repeated_variable_within_pattern(spark):
+    pats = [("?x", "knows", "?x")]
+    assert _spark_bgp(spark, pats) == _py_bgp(TRIPS, pats) == [("dave",)]
+
+
+def test_join_order_is_semantically_irrelevant(spark):
+    a = [("?a", "knows", "?b"), ("?b", "born_in", "?c")]
+    assert _spark_bgp(spark, a) == _spark_bgp(spark, list(reversed(a)))
+
+
+def test_disconnected_bgp_refused_unless_opted_in(spark):
+    pats = [("?a", "knows", "?b"), ("?x", "in_country", "?y")]
+    with pytest.raises(ValueError, match="cartesian"):
+        _spark_bgp(spark, pats)
+    assert _spark_bgp(spark, pats, allow_product=True) == _py_bgp(
+        TRIPS, pats
+    )
+
+
+def test_degenerate_patterns_raise(spark):
+    for bad in ([], [("alice", "knows", "bob")], [("?a", "knows")]):
+        with pytest.raises(ValueError):
+            _spark_bgp(spark, bad)
+
+
+def test_bgp_on_real_pipeline_triples(spark):
+    """2-hop BGP over the real KG output equals the python oracle on
+    the collected triple set (long-typed entity keys)."""
+    from spanmarkerner_spark import schemas
+    from spanmarkerner_spark.datagen import gen_pages
+    from spanmarkerner_spark.pipeline import run_pipeline
+
+    pages = spark.createDataFrame(gen_pages(25, seed=5), schema=schemas.PAGES)
+    tri = (
+        run_pipeline(pages, num_partitions=4)["triples"]
+        .select("subj", "pred", "obj")
+        .distinct()
+        .cache()
+    )
+    trips = [tuple(r) for r in tri.collect()]
+    preds = sorted({p for _s, p, _o in trips})
+    assert len(preds) >= 2
+    pats = [("?a", preds[0], "?b"), ("?b", preds[1], "?c")]
+    got = sorted(tuple(r) for r in bgp_match(tri, pats).collect())
+    assert got == _py_bgp(trips, pats)
+    # connected plan: keyed joins only, no cartesian
+    plan = bgp_match(tri, pats)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    tri.unpersist()
