@@ -114,3 +114,97 @@ def bgp_match(
             )
         bound |= vs
     return out.select(*sorted(bound))
+
+
+def bgp_match_encoded(
+    store: dict,
+    patterns: list[tuple],
+    resolve: bool = True,
+    allow_product: bool = False,
+) -> DataFrame:
+    """BGP over a dictionary-ENCODED store (plans/dict_store.py
+    {'terms', 'preds', 'encoded'}) — how an RDF engine actually
+    executes a query: string constants resolve to their int ids with
+    one bounded <=1-row dictionary lookup each (metadata-class
+    collect, same as the lineage/model-card collects), the pattern
+    joins run on 8-byte keys, and with resolve=True the binding
+    columns translate back to terms via dictionary joins (entity
+    variables through `terms`, predicate variables through `preds`).
+
+    An unknown constant (not in the dictionary) means zero matches by
+    construction; this returns an EMPTY bindings frame with the right
+    columns rather than raising, matching SPARQL semantics.
+
+    Scale: each constant lookup is one filter on a persisted
+    dictionary (bounded collect of <=1 row — same class as the
+    lineage/model-card metadata collects); the pattern joins are the
+    int-key plans the encoded store exists for; the resolve joins are
+    per-variable joins against the node dictionary, keyed on the id.
+    """
+    terms, preds, enc = store["terms"], store["preds"], store["encoded"]
+
+    def _lookup(df: DataFrame, key_col: str, id_col: str, value):
+        row = df.filter(F.col(key_col) == F.lit(value)).head(1)
+        return row[0][id_col] if row else None
+
+    missing = False
+    pats_ids = []
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be (s, p, o): {pat!r}")
+        s, p, o = pat
+        ids = []
+        for term, (d, kc, ic) in zip(
+            pat,
+            ((terms, "term", "tid"), (preds, "pred", "pid"),
+             (terms, "term", "tid")),
+        ):
+            if _is_var(term):
+                ids.append(term)
+            else:
+                tid = _lookup(d, kc, ic, term)
+                if tid is None:
+                    missing = True
+                ids.append(tid)
+        pats_ids.append(tuple(ids))
+    # variable kinds (entity vs predicate position) for resolution
+    ent_vars, pred_vars = set(), set()
+    for s, p, o in patterns:
+        for t, bucket in ((s, ent_vars), (p, pred_vars), (o, ent_vars)):
+            if _is_var(t):
+                bucket.add(t[1:])
+    if pred_vars & ent_vars:
+        raise ValueError(
+            f"variable used in both predicate and entity position: "
+            f"{sorted(pred_vars & ent_vars)}"
+        )
+    if missing:
+        # an absent constant cannot match: empty store, ids stubbed
+        # to an impossible key (dense ids are 1-based)
+        enc = enc.filter(F.lit(False))
+        pats_ids = [
+            tuple(t if _is_var(t) else -1 for t in p) for p in pats_ids
+        ]
+    out = bgp_match(
+        enc,
+        pats_ids,
+        cols=("s_id", "p_id", "o_id"),
+        allow_product=allow_product,
+    )
+    if not resolve:
+        return out
+    for v in sorted(ent_vars | pred_vars):
+        d, kc, ic = (
+            (terms, "term", "tid") if v in ent_vars else (preds, "pred", "pid")
+        )
+        out = (
+            out.join(
+                d.select(
+                    F.col(ic).alias(v), F.col(kc).alias(f"_{v}")
+                ),
+                v,
+            )
+            .drop(v)
+            .withColumnRenamed(f"_{v}", v)
+        )
+    return out.select(*sorted(ent_vars | pred_vars))

@@ -97,6 +97,39 @@ def test_degenerate_patterns_raise(spark):
             _spark_bgp(spark, bad)
 
 
+def test_bgp_encoded_matches_string_side(spark):
+    """bgp_match_encoded over the dict-encoded store == bgp_match over
+    the raw strings, for paths, constant anchors and variable
+    predicates; unknown constants give the empty frame."""
+    from spanmarkerner_spark.operators.bgp import bgp_match_encoded
+    from spanmarkerner_spark.plans.dict_store import dict_encode_triples
+
+    df = spark.createDataFrame(TRIPS, "subj string, pred string, obj string")
+    store = dict_encode_triples(df)
+    cases = [
+        [("?a", "knows", "?b"), ("?b", "born_in", "?c")],
+        [("?p", "born_in", "paris"), ("?p", "knows", "?q")],
+        [("bob", "?rel", "?x")],
+        [("?x", "knows", "?x")],
+    ]
+    for pats in cases:
+        got = sorted(
+            tuple(r) for r in bgp_match_encoded(store, pats).collect()
+        )
+        assert got == _spark_bgp(spark, pats), pats
+    # unknown constant -> empty bindings, correct columns
+    empty = bgp_match_encoded(store, [("?a", "knows", "zzz_nobody")])
+    assert empty.columns == ["a"] and empty.count() == 0
+    # unresolved form returns int ids
+    ids = bgp_match_encoded(
+        store, [("?x", "knows", "?x")], resolve=False
+    ).collect()
+    assert len(ids) == 1 and isinstance(ids[0]["x"], int)
+    # a variable cannot straddle predicate and entity positions
+    with pytest.raises(ValueError, match="predicate and entity"):
+        bgp_match_encoded(store, [("?x", "?x", "?y")])
+
+
 def test_bgp_on_real_pipeline_triples(spark):
     """2-hop BGP over the real KG output equals the python oracle on
     the collected triple set (long-typed entity keys)."""
