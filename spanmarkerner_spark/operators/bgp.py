@@ -74,11 +74,22 @@ def bgp_match(
     patterns: list[tuple],
     cols=_COLS,
     allow_product: bool = False,
+    optional: list[tuple] | None = None,
 ) -> DataFrame:
     """Bindings DataFrame (one column per distinct variable) for the
     conjunction of patterns. Raises ValueError on an empty pattern
     list, a pattern without variables (use a plain filter/count), or
-    a disconnected pattern set unless allow_product=True."""
+    a disconnected pattern set unless allow_product=True.
+
+    `optional` patterns are SPARQL OPTIONAL blocks (one block per
+    pattern): each LEFT-joins onto the required bindings on its
+    shared variables — bindings with no match keep NULL for the
+    block's new variables instead of being dropped. Every optional
+    pattern must share at least one variable with the REQUIRED
+    binding set (an unanchored OPTIONAL is a product by stealth), and
+    its new variables may not be referenced by other optional
+    patterns (block independence, which is what makes one left join
+    per block the exact semantics)."""
     if not patterns:
         raise ValueError("empty BGP")
     frames = []
@@ -112,6 +123,23 @@ def bgp_match(
                 "disconnected BGP would require a cartesian product; "
                 "pass allow_product=True if intended"
             )
+        bound |= vs
+    required_vars = set(bound)
+    for pat in optional or []:
+        f, vs = _pattern_frame(triples, pat, cols)
+        shared = sorted(vs & required_vars)
+        new = vs - required_vars
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat!r} shares no variable with the "
+                "required patterns"
+            )
+        if new & (bound - required_vars):
+            raise ValueError(
+                f"OPTIONAL pattern {pat!r} rebinds another optional "
+                f"block's variable: {sorted(new & (bound - required_vars))}"
+            )
+        out = out.join(f, on=shared, how="left")
         bound |= vs
     return out.select(*sorted(bound))
 

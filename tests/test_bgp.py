@@ -97,6 +97,81 @@ def test_degenerate_patterns_raise(spark):
             _spark_bgp(spark, bad)
 
 
+def _py_optional(trips, req, opt):
+    """Oracle for OPTIONAL blocks: each binding extends per match or
+    keeps None for the block's new variables."""
+    vs_req = sorted({t[1:] for p in req for t in p if str(t).startswith("?")})
+    base = _py_bgp(trips, req)
+    binds = [dict(zip(vs_req, row)) for row in base]
+    all_vars = set(vs_req)
+    for pat in opt:
+        pvars = [t[1:] for t in pat if str(t).startswith("?")]
+        all_vars |= set(pvars)
+        nxt = []
+        for b in binds:
+            matches = []
+            for row in trips:
+                bb, ok = dict(b), True
+                for term, val in zip(pat, row):
+                    if str(term).startswith("?"):
+                        v = term[1:]
+                        if v in bb and bb[v] is not None and bb[v] != val:
+                            ok = False
+                            break
+                        bb[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    matches.append(bb)
+            if matches:
+                nxt.extend(matches)
+            else:
+                bb = dict(b)
+                for v in pvars:
+                    bb.setdefault(v, None)
+                nxt.append(bb)
+        binds = nxt
+    vs = sorted(all_vars)
+    key = lambda t: tuple((x is None, x) for x in t)
+    return sorted((tuple(b.get(v) for v in vs) for b in binds), key=key)
+
+
+def test_optional_blocks_left_join_semantics(spark):
+    df = spark.createDataFrame(TRIPS, "subj string, pred string, obj string")
+    req = [("?a", "knows", "?b")]
+    opt = [("?b", "born_in", "?city"), ("?b", "knows", "?fof")]
+    out = bgp_match(df, req, optional=opt)
+    key = lambda t: tuple((x is None, x) for x in t)
+    got = sorted((tuple(r) for r in out.collect()), key=key)
+    assert got == _py_optional(TRIPS, req, opt)
+    # alice knows bob (bob born_in paris, knows carol) AND alice knows
+    # carol (born_in paris, knows nobody -> NULL fof)
+    assert ("alice", "bob", "paris", "carol") in got
+    assert ("alice", "carol", "paris", None) in got
+
+
+def test_optional_validation(spark):
+    df = spark.createDataFrame(TRIPS, "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(df, [("?a", "knows", "?b")],
+                  optional=[("?x", "born_in", "?y")])
+    # chaining onto another block's var shares nothing REQUIRED
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(
+            df,
+            [("?a", "knows", "?b")],
+            optional=[("?b", "born_in", "?c"), ("?c", "in_country", "?d")],
+        )
+    # introducing a var another block already bound is a rebind
+    with pytest.raises(ValueError, match="rebinds"):
+        bgp_match(
+            df,
+            [("?a", "knows", "?b")],
+            optional=[("?b", "born_in", "?c"), ("?a", "born_in", "?c")],
+        )
+
+
 def test_bgp_encoded_matches_string_side(spark):
     """bgp_match_encoded over the dict-encoded store == bgp_match over
     the raw strings, for paths, constant anchors and variable
