@@ -73,17 +73,26 @@ _MERGE_SCHEMA = "loser long, winner long"
 
 
 def _read_state(
-    sp: SparkSession, path: str, schema: str, exclude_epoch: int
+    sp: SparkSession,
+    path: str,
+    schema: str,
+    exclude_epoch: int | None = None,
+    exclude_delta: str | None = None,
 ) -> DataFrame:
+    """State table read for the fold: exclude the CURRENT batch's own
+    partition (epoch-mode: epoch id; file-mode: delta key) so a retry
+    recomputes against prior state only. resolve_entities passes no
+    exclusion and works on either partition layout."""
     from pyspark.errors import AnalysisException
 
     try:
         cols = [c.split()[0] for c in schema.split(",")]
-        return (
-            sp.read.parquet(path)
-            .filter(F.col("epoch") != int(exclude_epoch))
-            .select(*cols)
-        )
+        df = sp.read.parquet(path)
+        if exclude_epoch is not None:
+            df = df.filter(F.col("epoch") != int(exclude_epoch))
+        if exclude_delta is not None:
+            df = df.filter(F.col("delta") != exclude_delta)
+        return df.select(*cols)
     except AnalysisException as e:
         if (e.getErrorClass() or "") not in (
             "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
@@ -114,20 +123,14 @@ def _resolve(df: DataFrame, mapping: DataFrame, col: str) -> DataFrame:
     )
 
 
-def registry_micro_batch(
-    batch_df: DataFrame, epoch_id: int, reg_dir: str
-) -> None:
-    """One micro-batch of (alias, entity_id) dictionary rows ->
-    append-only epoch deltas of alias_rep/ and merges/ (module
-    docstring). Module-level so foreachBatch retry semantics are
-    directly testable."""
-    sp = batch_df.sparkSession
-    rep_dir = f"{reg_dir}/alias_rep"
-    mrg_dir = f"{reg_dir}/merges"
-    prior_rep = _read_state(sp, rep_dir, _REP_SCHEMA, epoch_id)
-    prior_merges = _read_state(sp, mrg_dir, _MERGE_SCHEMA, epoch_id)
+def _fold(
+    sp: SparkSession, batch_df: DataFrame, prior_rep: DataFrame,
+    prior_merges: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The incremental-canonicalization core shared by the epoch and
+    file-lineage variants: (fresh_alias, new_merges) deltas computed
+    from the batch against prior state only (module docstring)."""
     mapping = _root_mapping(prior_merges)
-
     new = batch_df.select("alias", "entity_id").distinct()
     new_r = _resolve(new, mapping, "entity_id")
     # star edges to the (resolved) prior representative of each
@@ -162,15 +165,21 @@ def registry_micro_batch(
         .groupBy("alias")
         .agg(F.min("entity_id").alias("entity_id"))
     )
+    return fresh_alias, new_merges
+
+
+def _write_deltas(
+    sp: SparkSession, frames_paths, part_col: str, part_value
+) -> None:
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = sp.conf.get(key, None)
     sp.conf.set(key, "dynamic")
     try:
-        for frame, path in ((fresh_alias, rep_dir), (new_merges, mrg_dir)):
+        for frame, path in frames_paths:
             (
-                frame.withColumn("epoch", F.lit(int(epoch_id)))
+                frame.withColumn(part_col, F.lit(part_value))
                 .write.mode("overwrite")
-                .partitionBy("epoch")
+                .partitionBy(part_col)
                 .parquet(path)
             )
     finally:
@@ -178,6 +187,106 @@ def registry_micro_batch(
             sp.conf.unset(key)
         else:
             sp.conf.set(key, prev)
+
+
+def registry_micro_batch(
+    batch_df: DataFrame, epoch_id: int, reg_dir: str
+) -> None:
+    """One micro-batch of (alias, entity_id) dictionary rows ->
+    append-only epoch deltas of alias_rep/ and merges/ (module
+    docstring). Module-level so foreachBatch retry semantics are
+    directly testable. Epoch-keyed: safe while the streaming
+    checkpoint lives; for checkpoint-LOSS safety use
+    registry_micro_batch_by_file (epoch renumbering after a lost
+    checkpoint would overwrite this variant's early deltas)."""
+    sp = batch_df.sparkSession
+    rep_dir = f"{reg_dir}/alias_rep"
+    mrg_dir = f"{reg_dir}/merges"
+    prior_rep = _read_state(sp, rep_dir, _REP_SCHEMA, exclude_epoch=epoch_id)
+    prior_merges = _read_state(
+        sp, mrg_dir, _MERGE_SCHEMA, exclude_epoch=epoch_id
+    )
+    fresh_alias, new_merges = _fold(sp, batch_df, prior_rep, prior_merges)
+    _write_deltas(
+        sp,
+        ((fresh_alias, rep_dir), (new_merges, mrg_dir)),
+        "epoch",
+        int(epoch_id),
+    )
+
+
+def registry_micro_batch_by_file(
+    batch_keyed: DataFrame,
+    epoch_id: int,
+    reg_dir: str,
+    run_id: str = "registry",
+) -> None:
+    """File-lineage twin of registry_micro_batch — the checkpoint-loss
+    hardening (same discipline as streaming/ingest.
+    curate_micro_batch_by_file): batch_keyed must carry
+    (file_key, file_path) from plans/lineage.with_file_key over the
+    streaming scan's _metadata.
+
+    - resume unit is the input FILE: pending_files drops files any
+      earlier run already finished, so a LOST streaming checkpoint
+      (epoch ids restarting at 0) can never overwrite prior deltas;
+    - the joint delta of this batch's pending files lands in ONE
+      partition keyed by a deterministic hash of the sorted pending
+      file_keys — a retried batch (same pending set, lineage lands
+      last) overwrites exactly its own partition; a re-batched replay
+      after checkpoint loss has a disjoint pending set and therefore
+      a fresh delta key;
+    - folding files in different groupings yields the same final
+      resolution (the union-equivalence contract), so re-batching is
+      safe by construction;
+    - file lineage (stage 'registry') lands LAST, one row per file
+      with that file's alias-row count.
+    """
+    import hashlib
+
+    from . import lineage as L
+
+    sp = batch_keyed.sparkSession
+    pending = L.pending_files(batch_keyed, sp, reg_dir, "registry")
+    files = [
+        (r["file_key"], r["file_path"])
+        for r in pending.select("file_key", "file_path").distinct().collect()
+    ]
+    if not files:
+        return
+    delta_key = hashlib.md5(
+        "|".join(sorted(fk for fk, _ in files)).encode()
+    ).hexdigest()[:16]
+    rep_dir = f"{reg_dir}/alias_rep"
+    mrg_dir = f"{reg_dir}/merges"
+    prior_rep = _read_state(sp, rep_dir, _REP_SCHEMA, exclude_delta=delta_key)
+    prior_merges = _read_state(
+        sp, mrg_dir, _MERGE_SCHEMA, exclude_delta=delta_key
+    )
+    per_file = {
+        r["file_key"]: r["n"]
+        for r in pending.groupBy("file_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fresh_alias, new_merges = _fold(
+        sp, pending.drop("file_key", "file_path"), prior_rep, prior_merges
+    )
+    _write_deltas(
+        sp,
+        ((fresh_alias, rep_dir), (new_merges, mrg_dir)),
+        "delta",
+        delta_key,
+    )
+    rows = [
+        ("registry", fk, fp, int(per_file.get(fk, 0)), run_id)
+        for fk, fp in files
+    ]
+    from spanmarkerner_spark import schemas
+
+    sp.createDataFrame(rows, schema=schemas.FILE_LINEAGE).coalesce(
+        1
+    ).write.mode("append").parquet(L.file_lineage_path(reg_dir))
 
 
 def compact_merge_forest(spark: SparkSession, reg_dir: str) -> int:
@@ -193,7 +302,7 @@ def compact_merge_forest(spark: SparkSession, reg_dir: str) -> int:
     bin-packing; alias_rep/ is untouched). Returns the number of
     merge records after compaction."""
     mrg_dir = f"{reg_dir}/merges"
-    merges = _read_state(spark, mrg_dir, _MERGE_SCHEMA, -1)
+    merges = _read_state(spark, mrg_dir, _MERGE_SCHEMA)
     mapping = _root_mapping(merges)
     flat = (
         mapping.filter(F.col("node") != F.col("root"))
@@ -243,7 +352,7 @@ def resolve_entities(
     the read-side half of the incremental contract. Equals
     pipeline.apply_canonicalize over all alias rows ingested so far."""
     sp = df.sparkSession
-    merges = _read_state(sp, f"{reg_dir}/merges", _MERGE_SCHEMA, -1)
+    merges = _read_state(sp, f"{reg_dir}/merges", _MERGE_SCHEMA)
     return _resolve(df, _root_mapping(merges), col)
 
 
@@ -266,6 +375,36 @@ def stream_alias_to_registry(
         stream.writeStream.option("checkpointLocation", checkpoint)
         .foreachBatch(
             lambda b, e: registry_micro_batch(b, e, reg_dir)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_alias_to_registry_lineage(
+    spark: SparkSession,
+    src_dir: str,
+    reg_dir: str,
+    checkpoint: str,
+    max_files: int = 1,
+):
+    """Checkpoint-loss-hardened streaming wrapper: file-grained
+    lineage (registry_micro_batch_by_file) instead of epoch-keyed
+    deltas — deleting the checkpoint and restarting reprocesses only
+    files without a lineage row and can never overwrite prior
+    deltas."""
+    from . import lineage as L
+
+    stream = (
+        spark.readStream.schema(_REP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+    keyed = L.with_file_key(stream)
+    return (
+        keyed.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, e: registry_micro_batch_by_file(b, e, reg_dir)
         )
         .trigger(availableNow=True)
         .start()

@@ -223,6 +223,68 @@ def test_registry_resolution_survives_epoch_compaction(spark, tmp_path):
     assert before == _batch_canonical(spark, rows)
 
 
+def test_registry_file_lineage_survives_checkpoint_loss(spark, tmp_path):
+    """The r4-hardening discipline applied to the registry: stream two
+    alias files through the FILE-LINEAGE wrapper, DELETE the streaming
+    checkpoint, add a bridging third file and restart — the restarted
+    stream (epoch ids back at 0) must reprocess only the new file,
+    never overwrite the earlier deltas, and resolution must equal
+    batch canonicalization over all three files. A direct retry of the
+    same pending set is also byte-idempotent."""
+    import shutil
+
+    from spanmarkerner_spark.plans.entity_registry import (
+        registry_micro_batch_by_file,
+        stream_alias_to_registry_lineage,
+    )
+    from spanmarkerner_spark.plans.lineage import with_file_key
+
+    src = str(tmp_path / "src")
+    reg = str(tmp_path / "reg")
+    ckpt = str(tmp_path / "ckpt")
+    f1 = [("acme", 10), ("acme", 20)]
+    f2 = [("globex", 30), ("globex", 40)]
+    f3 = [("bridge", 20), ("bridge", 30)]  # merges both components
+    for i, rows in enumerate([f1, f2]):
+        spark.createDataFrame(rows, "alias string, entity_id long").coalesce(
+            1
+        ).write.parquet(src, mode="append" if i else "overwrite")
+    q = stream_alias_to_registry_lineage(spark, src, reg, ckpt)
+    q.awaitTermination(300)
+    assert _registry_mapping(spark, reg, [10, 20, 30, 40]) == {
+        10: 10, 20: 10, 30: 30, 40: 30,
+    }
+    merges_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{reg}/merges").collect()
+    )
+    # checkpoint LOST; third file arrives; stream restarts at epoch 0
+    shutil.rmtree(ckpt)
+    spark.createDataFrame(
+        f3, "alias string, entity_id long"
+    ).coalesce(1).write.parquet(src, mode="append")
+    q2 = stream_alias_to_registry_lineage(
+        spark, src, reg, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(300)
+    got = _registry_mapping(spark, reg, [10, 20, 30, 40])
+    assert got == _batch_canonical(spark, f1 + f2 + f3)
+    assert got == {e: 10 for e in (10, 20, 30, 40)}
+    # earlier deltas intact (superset, nothing overwritten)
+    merges_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{reg}/merges").collect()
+    )
+    assert set(merges_before) <= set(merges_after)
+    # direct same-batch retry: pending set empty -> byte-identical state
+    keyed = with_file_key(
+        spark.read.parquet(src), file_path_col=F.input_file_name()
+    )
+    registry_micro_batch_by_file(keyed, 0, reg)
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(f"{reg}/merges").collect())
+        == merges_after
+    )
+
+
 def test_compact_merge_forest_flattens_chains_and_preserves_resolution(
     spark, tmp_path
 ):
