@@ -144,6 +144,59 @@ def bgp_match(
     return out.select(*sorted(bound))
 
 
+def bgp_union(
+    triples: DataFrame,
+    branches: list[list[tuple]],
+    cols=_COLS,
+    allow_product: bool = False,
+) -> DataFrame:
+    """SPARQL UNION: bindings of each branch BGP, unioned by variable
+    name; a variable absent from a branch is NULL in that branch's
+    rows (SPARQL's unbound). Bag semantics — no implicit distinct."""
+    if not branches:
+        raise ValueError("empty UNION")
+    outs = [
+        bgp_match(triples, pats, cols=cols, allow_product=allow_product)
+        for pats in branches
+    ]
+    all_vars = sorted({v for o in outs for v in o.columns})
+    out = None
+    for o in outs:
+        filled = o.select(
+            *[
+                (F.col(v) if v in o.columns else F.lit(None)).alias(v)
+                for v in all_vars
+            ]
+        )
+        out = filled if out is None else out.unionByName(filled)
+    return out
+
+
+def bgp_minus(
+    triples: DataFrame,
+    patterns: list[tuple],
+    minus: list[tuple],
+    cols=_COLS,
+    allow_product: bool = False,
+) -> DataFrame:
+    """SPARQL MINUS: drop required bindings compatible with any
+    binding of the `minus` BGP on their SHARED variables — a left-anti
+    join, the set-subtraction side of the query algebra (decontam's
+    anti-join, applied to bindings). Disjoint variable sets remove
+    nothing (SPARQL's rule: no shared variable means no
+    incompatibility), enforced here with a ValueError since that call
+    is always a mistake."""
+    req = bgp_match(triples, patterns, cols=cols, allow_product=allow_product)
+    sub = bgp_match(triples, minus, cols=cols, allow_product=allow_product)
+    shared = sorted(set(req.columns) & set(sub.columns))
+    if not shared:
+        raise ValueError(
+            "MINUS block shares no variable with the required patterns "
+            "(SPARQL semantics would remove nothing)"
+        )
+    return req.join(sub.select(*shared).distinct(), on=shared, how="left_anti")
+
+
 def bgp_match_encoded(
     store: dict,
     patterns: list[tuple],
