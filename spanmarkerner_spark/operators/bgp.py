@@ -197,6 +197,85 @@ def bgp_minus(
     return req.join(sub.select(*shared).distinct(), on=shared, how="left_anti")
 
 
+def bgp_construct(
+    triples: DataFrame,
+    where: list[tuple],
+    template: list[tuple],
+    cols=_COLS,
+    allow_product: bool = False,
+) -> DataFrame:
+    """SPARQL CONSTRUCT / single rule application: match `where`,
+    instantiate each `template` (s, p, o) per binding — variables
+    substituted, constants literal — and return the DISTINCT new
+    triples in the store's column layout. Template variables must be
+    bound by `where`."""
+    binds = bgp_match(
+        triples, where, cols=cols, allow_product=allow_product
+    )
+    bound = set(binds.columns)
+    for pat in template:
+        if len(pat) != 3:
+            raise ValueError(f"template must be (s, p, o): {pat!r}")
+        for t in pat:
+            if _is_var(t) and t[1:] not in bound:
+                raise ValueError(
+                    f"template variable {t} unbound by the WHERE patterns"
+                )
+    out = None
+    for pat in template:
+        row = binds.select(
+            *[
+                (F.col(t[1:]) if _is_var(t) else F.lit(t)).alias(c)
+                for t, c in zip(pat, cols)
+            ]
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.distinct()
+
+
+def materialize_rules(
+    triples: DataFrame,
+    rules: list[tuple[list[tuple], list[tuple]]],
+    cols=_COLS,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Forward-chaining rule materialization (RDFS/OWL-RL-style
+    inference): apply every (where, template) rule, add the NEW
+    triples to the store, and repeat to fixpoint — transitive rules
+    like `(?a sub ?b)(?b sub ?c) => (?a sub ?c)` close in
+    O(log diameter) rounds because each round composes paths of
+    doubled length through the growing store.
+
+    Scale notes: each round is |rules| BGP joins plus one anti-join
+    against the store (only genuinely-new triples feed the next
+    round — the classic semi-naive guard against re-deriving the
+    whole closure every round is approximated store-side: derivations
+    are recomputed per round, but the TERMINATION check is the cheap
+    anti-join, and iterative lineage is cut with localCheckpoint the
+    same way connected_components does; swap for checkpoint(dir) on a
+    cluster). Rule heads/bodies are tiny; the data-side joins are the
+    same keyed BGP plans as bgp_match. Returns the closed store
+    (original + derived). Raises if the closure has not converged
+    within max_iter rounds."""
+    store = triples.select(*cols).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        derived = None
+        for where, template in rules:
+            d = bgp_construct(store, where, template, cols=cols)
+            derived = d if derived is None else derived.unionByName(d)
+        fresh = (
+            derived.distinct()
+            .join(store, on=list(cols), how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if fresh.isEmpty():
+            return store
+        store = store.unionByName(fresh).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"rule closure did not converge within {max_iter} rounds"
+    )
+
+
 def bgp_match_encoded(
     store: dict,
     patterns: list[tuple],

@@ -252,6 +252,62 @@ def test_bgp_encoded_matches_string_side(spark):
         bgp_match_encoded(store, [("?x", "?x", "?y")])
 
 
+def test_construct_instantiates_templates(spark):
+    from spanmarkerner_spark.operators.bgp import bgp_construct
+
+    df = spark.createDataFrame(TRIPS, "subj string, pred string, obj string")
+    out = bgp_construct(
+        df,
+        [("?a", "knows", "?b"), ("?b", "born_in", "?c")],
+        [("?a", "acquainted_city", "?c"), ("?c", "hosts_contact_of", "?a")],
+    )
+    got = {tuple(r) for r in out.collect()}
+    pairs = {
+        (s1, o2)
+        for s1, p1, o1 in TRIPS
+        if p1 == "knows"
+        for s2, p2, o2 in TRIPS
+        if p2 == "born_in" and s2 == o1
+    }
+    want = {(a, "acquainted_city", c) for a, c in pairs} | {
+        (c, "hosts_contact_of", a) for a, c in pairs
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_construct(df, [("?a", "knows", "?b")], [("?a", "p", "?zzz")])
+
+
+def test_materialize_rules_transitive_closure(spark):
+    """Forward chaining closes a subclass chain of length 6 (paths up
+    to 5 hops) and a domain rule on top of it; python oracle = naive
+    fixpoint."""
+    from spanmarkerner_spark.operators.bgp import materialize_rules
+
+    chain = [(f"c{i}", "sub", f"c{i+1}") for i in range(6)]
+    typed = [("x", "isa", "c0"), ("y", "isa", "c3")]
+    trips = chain + typed
+    rules = [
+        ([("?a", "sub", "?b"), ("?b", "sub", "?c")], [("?a", "sub", "?c")]),
+        ([("?i", "isa", "?k"), ("?k", "sub", "?l")], [("?i", "isa", "?l")]),
+    ]
+    df = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    closed = {tuple(r) for r in materialize_rules(df, rules).collect()}
+    # python naive fixpoint
+    want = set(trips)
+    while True:
+        new = set()
+        sub = {(s, o) for s, p, o in want if p == "sub"}
+        isa = {(s, o) for s, p, o in want if p == "isa"}
+        new |= {(a, "sub", c) for a, b in sub for b2, c in sub if b == b2}
+        new |= {(i, "isa", l) for i, k in isa for k2, l in sub if k == k2}
+        if new <= want:
+            break
+        want |= new
+    assert closed == want
+    # every isa of x reaches the chain's end
+    assert ("x", "isa", "c6") in closed and ("y", "isa", "c6") in closed
+
+
 def test_bgp_on_real_pipeline_triples(spark):
     """2-hop BGP over the real KG output equals the python oracle on
     the collected triple set (long-typed entity keys)."""
