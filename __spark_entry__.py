@@ -5316,6 +5316,59 @@ def kg_star_join(spark, sf_dir):
 
 
 @_q(
+    "kg_rules_closure",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT n_nationkey AS k,
+             lead(n_nationkey) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey) AS nxt
+      FROM nation
+    ), edges AS (
+      SELECT 'N' || k AS s, 'N' || nxt AS o FROM chain WHERE nxt IS NOT NULL
+    ), reach(s, o) AS (
+      SELECT s, o FROM edges
+      UNION
+      SELECT r.s, e.o FROM reach r JOIN edges e ON e.s = r.o
+    )
+    SELECT s AS subj, 'sub' AS pred, o AS obj FROM reach
+    """,
+)
+def kg_rules_closure(spark, sf_dir):
+    """Forward-chaining inference (operators/bgp.py
+    materialize_rules): the transitivity rule
+    `(?a sub ?b)(?b sub ?c) => (?a sub ?c)` closed to fixpoint over
+    the within-region nation chain (consecutive nation keys per
+    region -> 4-edge chains, closure = 10 pairs per region at every
+    sf since TPC-H's nation table is fixed). Oracle is the literal
+    recursive CTE. The engine side derives paths of doubled length
+    per round (2 rounds for diameter 4), each round one BGP self-join
+    + one anti-join termination check."""
+    from pyspark.sql import Window
+
+    from spanmarkerner_spark.operators.bgp import materialize_rules
+
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    edges = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("k"),
+            F.lead("n_nationkey").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.concat(F.lit("N"), F.col("k")).alias("subj"),
+            F.lit("sub").alias("pred"),
+            F.concat(F.lit("N"), F.col("nxt")).alias("obj"),
+        )
+    )
+    rule = (
+        [("?a", "sub", "?b"), ("?b", "sub", "?c")],
+        [("?a", "sub", "?c")],
+    )
+    return materialize_rules(edges, [rule])
+
+
+@_q(
     "kg_bgp_path",
     f"WITH {_TRIPLE_T_SQL}\n"
     "SELECT t2.obj AS n, t3.obj AS p, t1.subj AS s\n"
@@ -5543,7 +5596,7 @@ _NEXT_ROTATION = [
     "graph_bfs_dist", "graph_ppr",
     "kg_entity_types", "profile_documents", "graph_random_walks",
     # added after the final-window pass (same strict-local contract):
-    "kg_bgp_path",
+    "kg_bgp_path", "kg_rules_closure",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green
