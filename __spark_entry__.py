@@ -5165,6 +5165,42 @@ def graph_random_walks(spark, sf_dir):
     return random_walks(edges, seeds, walk_len=4)
 
 
+def _walk_pairs_sql(walk_len: int, window: int) -> str:
+    """Oracle for graph_walk_pairs: the walks oracle's step union
+    wrapped as a CTE, self-joined within the skip-gram window.
+    _walks_sql emits 'WITH <ctes>\\n<step union>' with the union on
+    the single final line — split there and re-wrap."""
+    base = _walks_sql(walk_len)
+    ctes, union = base.rsplit("\n", 1)
+    return (
+        f"{ctes}, walks AS ({union})\n"
+        "SELECT w1.node AS center, w2.node AS context,"
+        " count(*)::BIGINT AS n_pairs\n"
+        "FROM walks w1 JOIN walks w2 ON w1.walk_id = w2.walk_id\n"
+        f"WHERE w1.step <> w2.step AND abs(w1.step - w2.step) <= {window}\n"
+        "GROUP BY 1, 2"
+    )
+
+
+@_q("graph_walk_pairs", _walk_pairs_sql(walk_len=4, window=2))
+def graph_walk_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair frequencies from the walk
+    corpus (operators/graph.py walk_skipgram_pairs) — the DeepWalk
+    'walks are sentences' window pairing that feeds word2vec-style
+    embedding training. One walk_id-keyed self-join (bounded per-key
+    blow-up) + a map-side-combinable count."""
+    from spanmarkerner_spark.operators.graph import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    edges = _succ_edges(spark, sf_dir)
+    seeds = edges.filter(F.col("src") % 101 == 1).select(
+        F.col("src").alias("node")
+    )
+    return walk_skipgram_pairs(random_walks(edges, seeds, walk_len=4))
+
+
 @_q("graph_ppr", _ppr_sql(iters=3))
 def graph_ppr(spark, sf_dir):
     """Personalized PageRank (3 rounds, d=0.85, teleport onto the
@@ -5596,7 +5632,7 @@ _NEXT_ROTATION = [
     "graph_bfs_dist", "graph_ppr",
     "kg_entity_types", "profile_documents", "graph_random_walks",
     # added after the final-window pass (same strict-local contract):
-    "kg_bgp_path", "kg_rules_closure",
+    "kg_bgp_path", "kg_rules_closure", "graph_walk_pairs",
 ]
 _TAIL = [
     # Round-5 demotions: redundant family twins, each with green

@@ -450,6 +450,35 @@ def personalized_pagerank(
     return ranks.select("node", F.col("r").alias("rank"))
 
 
+def walk_skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus — the step between
+    random_walks and word2vec-style embedding training (DeepWalk §4.2
+    treats each walk as a sentence): every ordered (center, context)
+    node pair within `window` steps of each other on the same walk,
+    aggregated to (center, context, n_pairs) frequencies.
+
+    One keyed self-join on walk_id (walks are short, so the per-key
+    blow-up is <= walk_len * 2*window rows) followed by a map-side-
+    combinable count — no other shuffle. At 10^10 walks the pair
+    table is the embedding trainer's input; frequency-aggregated form
+    keeps it vocabulary² -bounded instead of corpus-bounded."""
+    a = walks.select(
+        "walk_id", F.col("step").alias("i"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("j"), F.col("node").alias("context")
+    )
+    pairs = a.join(b, "walk_id").filter(
+        (F.col("i") != F.col("j"))
+        & (F.abs(F.col("i") - F.col("j")) <= window)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def random_walks(
     edges: DataFrame,
     seeds: DataFrame,

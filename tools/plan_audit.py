@@ -48,7 +48,7 @@ AUDITED = [
     "text_boolean_search", "text_bm25_topk", "embed_rand_proj",
     "graph_bfs_dist", "graph_ppr", "kg_dict_encode", "kg_star_join",
     "kg_entity_types", "profile_documents", "graph_random_walks",
-    "kg_bgp_path",
+    "kg_bgp_path", "kg_rules_closure",
 ]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 MAX_PLAN_LINES = 30
