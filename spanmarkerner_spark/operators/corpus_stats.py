@@ -40,18 +40,27 @@ PPM = 1_000_000
 def dup_ngram_ppm(text_col: Column | str, n: int = 3) -> Column:
     """Fraction (ppm) of n-gram occurrences that are repeats of an
     earlier occurrence: (total - distinct) * 1e6 DIV total. Pure
-    expression — usable inside any select, zero shuffle."""
-    grams = shingle_tokens(text_col, n)
-    total = F.size(grams)
-    dup = total - F.size(F.array_distinct(grams))
-    # floor(double /) is exact here: dup*PPM is per-document bounded
-    # (<= tokens * 1e6, far under 2^53) and the quotient sits >= 1/total
-    # away from any integer when not exact — no div/oracle divergence
-    return (
-        F.when(total > 0, F.floor(dup.cast("long") * PPM / total))
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
+    expression — usable inside any select, zero shuffle. The gram
+    array is let-bound (dedup.shingle_tokens) so the three uses below
+    share ONE shingle construction per row instead of re-deriving it
+    per reference."""
+
+    def _ppm(grams):
+        total = F.size(grams)
+        dup = total - F.size(F.array_distinct(grams))
+        # floor(double /) is exact here: dup*PPM is per-document
+        # bounded (<= tokens * 1e6, far under 2^53) and the quotient
+        # sits >= 1/total away from any integer when not exact — no
+        # div/oracle divergence
+        return (
+            F.when(total > 0, F.floor(dup.cast("long") * PPM / total))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return F.transform(
+        F.array(shingle_tokens(text_col, n)), _ppm
+    )[0]
 
 
 def top_ngram_stats(
@@ -154,21 +163,41 @@ def quality_classifier_scores(
     (2 MB at 2^19 buckets) to every executor.
     """
     half = buckets // 2
-    feats = F.concat(
-        shingle_tokens(F.col(text_col), 1), shingle_tokens(F.col(text_col), 2)
-    )
-    score = F.aggregate(
-        feats,
-        F.lit(0).cast("long"),
-        lambda acc, g: acc
-        + portable_hash64(g, salt=salt) % buckets
-        - F.lit(half),
-    )
-    return ensure_min_parallelism(docs).select(
-        F.col(id_col),
-        F.size(feats).cast("long").alias("n_feats"),
-        score.cast("long").alias("score"),
-        (score > 0).alias("keep"),
+
+    def _score(feats):
+        return F.aggregate(
+            feats,
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + portable_hash64(g, salt=salt) % buckets
+            - F.lit(half),
+        )
+
+    # feature array and score each bound to a real column: the old
+    # single-select form evaluated the feature build 3x and the md5
+    # scoring aggregate 2x per row (n_feats / score / keep each
+    # re-derived them); multi-referenced non-cheap aliases are not
+    # collapsed by the optimizer, so these projections survive
+    return (
+        ensure_min_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.concat(
+                shingle_tokens(F.col(text_col), 1),
+                shingle_tokens(F.col(text_col), 2),
+            ).alias("_feats"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("_feats").cast("long").alias("n_feats"),
+            _score(F.col("_feats")).cast("long").alias("score"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            "score",
+            (F.col("score") > 0).alias("keep"),
+        )
     )
 
 

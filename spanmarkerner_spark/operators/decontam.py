@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..session import ensure_min_parallelism
-from .dedup import shingle_tokens
+from .dedup import _tok_col, shingles_of
 
 
 def _grams(
@@ -46,8 +46,19 @@ def _grams(
     # scale — see session.ensure_min_parallelism)
     if spread:
         docs = ensure_min_parallelism(docs)
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingle_tokens(text_col, n))).alias("gram")
+    # tokens bound to a column first (dedup.shingles_of performance
+    # contract: an inline token subtree inside the shingle lambda is
+    # re-evaluated per element). filter(size >= n) only drops docs
+    # that had no grams anyway (explode drops empty arrays).
+    return (
+        docs.select(F.col(id_col), _tok_col(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles_of(F.col("_toks"), n))
+            ).alias("gram"),
+        )
     )
 
 
@@ -74,7 +85,12 @@ def contaminated_docs(
     return (
         c.join(F.broadcast(b), "gram", "left_semi")
         .groupBy(id_col)
-        .agg(F.count_distinct("gram").cast("long").alias("n_hits"))
+        # plain count, NOT count_distinct: (id, gram) rows are unique
+        # by construction (array_distinct before the explode), so the
+        # distinct-aggregation machinery only added a second
+        # per-group dedup pass — and plain count is exactly the
+        # oracle's COUNT(*) over the DISTINCT corpus rows
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
 
 

@@ -33,6 +33,49 @@ def _norm_text(col):
     return F.lower(F.regexp_replace(F.trim(col), "\\s+", " "))
 
 
+def _tok_col(text_col):
+    """Normalized whitespace tokens of a text column (array<string>)."""
+    return F.split(_norm_text(text_col), " ")
+
+
+def shingles_of(toks, n: int):
+    """n-gram shingles over a BOUND token-array attribute.
+
+    PERFORMANCE CONTRACT: `toks` must be a real column (attribute),
+    never an inline expression subtree. Spark's higher-order
+    functions are not whole-stage-codegen'd; a non-attribute subtree
+    referenced inside a lambda body is re-evaluated PER ELEMENT by
+    the interpreted evaluator, turning an O(words) shingle pass into
+    O(words * tokenize) — measured 42s -> 1.0s on the sf1.0
+    documents table for this exact expression (OPTIMIZATION_r06.md).
+    Callers bind tokens with  df.select(..., _tok_col(col).alias("_toks"))
+    and filter size(_toks) >= n first (short docs yield no shingles).
+
+    String semantics are identical to the previous
+    array_join(slice(toks, i+1, n), ' ') form: sequence stops at
+    size-n so every window is full, and split() tokens are never
+    null, so concat == array_join. The size guard matters: without
+    it, size(toks) < n would make sequence() DESCEND (0, -1, ...)
+    and emit null shingles instead of the documented empty array."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: _join_tokens(toks, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _join_tokens(toks, start, n: int):
+    """' '-joined n consecutive tokens from `start` (0-based Column)."""
+    parts = []
+    for j in range(n):
+        if j:
+            parts.append(F.lit(" "))
+        parts.append(F.get(toks, start + j))
+    return F.concat(*parts)
+
+
 def chunk_hash_array(text_col, k: int = 8):
     """Portable hashes of the non-overlapping k-word chunks of a text
     column — the shared chunk grain of line_dedup_stats and
@@ -42,16 +85,28 @@ def chunk_hash_array(text_col, k: int = 8):
     DuckDB twin: the chunks CTE pattern in __spark_entry__
     (md5-of-joined-slice over range(len(t) DIV k))."""
     toks = F.split(_norm_text(text_col), " ")
+    # let-bind the token array (see shingle_tokens): the chunk lambda
+    # must reference a lambda variable, not the tokenize subtree
+    return F.transform(
+        F.array(toks),
+        lambda t: F.when(
+            F.size(t) >= k, chunk_hashes_of(t, k)
+        ).otherwise(F.array().cast("array<long>")),
+    )[0]
+
+
+def chunk_hashes_of(toks, k: int):
+    """chunk_hash_array over a BOUND token-array attribute — same
+    hashes, but the lambda references an attribute instead of
+    re-tokenizing the text per chunk (shingles_of contract; the
+    inline chunk_hash_array form is kept for single-use/test
+    convenience). Callers filter size(toks) >= k first, which equals
+    the old empty-array `otherwise` branch once exploded."""
     n_full = F.floor(F.size(toks) / F.lit(k)).cast("int")
-    return F.when(
-        n_full >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_full - 1),
-            lambda i: portable_hash64(
-                F.array_join(F.slice(toks, i * k + 1, k), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    return F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: portable_hash64(_join_tokens(toks, i * k, k)),
+    )
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -72,15 +127,21 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingle_tokens(text_col, n: int = 3):
-    """Word n-gram shingles as strings (empty array if < n words)."""
+    """Word n-gram shingles as strings (empty array if < n words).
+
+    The token array is LET-BOUND via a single-element transform so the
+    per-shingle lambda references a lambda variable, not the
+    tokenization subtree: Spark's higher-order functions are
+    interpreted (no whole-stage codegen), and a non-trivial subtree
+    inside a lambda body is re-evaluated PER ELEMENT — the inline form
+    re-tokenized the document once per shingle (measured 42s -> 1.0s
+    for the sf1.0 shingle pass, OPTIMIZATION_r06.md). Same values,
+    same types, bit-identical output."""
     toks = F.split(_norm_text(text_col), " ")
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.array(toks),
+        lambda t: shingles_of(t, n),
+    )[0]
 
 
 def minhash_signature_from(sh_col, num_hashes: int = 16,
@@ -129,6 +190,24 @@ def minhash_signature_from(sh_col, num_hashes: int = 16,
     return F.aggregate(sh_col, init, step)
 
 
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(id, sh): distinct n-gram shingle sets per doc, with the token
+    array bound to a column first (shingles_of performance contract).
+    Docs with fewer than n tokens have no shingles and are dropped —
+    identical to the previous filter(size(sh) > 0)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            _tok_col(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select(
+            "id", F.array_distinct(shingles_of(F.col("_toks"), n)).alias("sh")
+        )
+    )
+
+
 def minhash_signature(text_col, num_hashes: int = 16, shingle_n: int = 3):
     """MinHash signature computed directly from text (convenience —
     prefer materializing the shingle column once and using
@@ -162,34 +241,38 @@ def minhash_lsh_pairs(
     better handled by exact dedup upstream.
     """
     rows_per_band = num_hashes // bands
+    raw_docs = docs
     docs = ensure_min_parallelism(docs)
-    base = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .withColumn(
-            "sig", minhash_signature_from(F.col("sh"), num_hashes, hash_fn)
-        )
+    # _doc_shingles binds tokens to a column first (shingles_of
+    # performance contract) and filters short docs on the token count
+    # — equivalent to the old filter(size(sh) > 0), since sh is
+    # non-empty exactly when size(toks) >= n
+    base = _doc_shingles(docs, id_col, text_col, shingle_n).withColumn(
+        "sig", minhash_signature_from(F.col("sh"), num_hashes, hash_fn)
     )
 
     # the banded frame carries ONLY (id, bucket) — round 1 shipped the
     # full shingle array through this exchange `bands` times per doc,
     # which dominates shuffle bytes at scale; shingles are re-attached
-    # below for just the docs that survive into candidate pairs
+    # below for just the docs that survive into candidate pairs.
+    # The band slices are an explicit python-built array, NOT a
+    # transform lambda: `sig` referenced from a lambda body would be
+    # re-evaluated per band by the interpreted HOF path.
     banded = base.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            F.array(
+                *[
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    for b in range(bands)
+                ]
             )
         ).alias("band", "band_sig"),
     ).withColumn("bucket", F.xxhash64("band", F.col("band_sig").cast("string")))
 
-    # cap hot buckets before the pair join
-    sized = banded.withColumn(
+    # cap hot buckets before the pair join; the window sees only the
+    # thin (id, bucket) rows — band_sig must not ride the exchange
+    sized = banded.select("id", "bucket").withColumn(
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     ).filter(F.col("bsz") <= max_bucket)
 
@@ -201,7 +284,37 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = base.select("id", "sh")
+    # MATERIALIZE the (thin, bucket-cap-bounded) candidate pairs once.
+    # Without this, every consumer below re-executes the whole
+    # signature subplan: the verify step references the docs' shingle
+    # sets twice (id_a, id_b), and pruning those recomputes to just
+    # the candidate docs needs the pair ids — so the full
+    # shingle+signature pass over the corpus ran THREE times per query
+    # (measured: it dominates wall time at sf1.0). One localCheckpoint
+    # of a few-thousand-row frame cuts that to ONE full pass; the
+    # per-invocation checkpoint recomputes from the parquet input
+    # every call (no cross-run reuse). On a cluster use
+    # spark.cleaner + reliable checkpoints as in connected_components.
+    pairs = pairs.localCheckpoint(eager=True)
+
+    # guide-§8 re-attach: shingle sets are recomputed ONLY for docs
+    # that appear in a candidate pair — a broadcast semi-join on the
+    # pair ids prunes the corpus BEFORE the (expensive) shingle
+    # expressions run, so the heavy text pass happens once above and
+    # once over the tiny candidate subset here.
+    member_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = _doc_shingles(
+        # raw scan, NOT the ensure_min_parallelism frame: the semi-join
+        # prunes to the candidate subset, so repartitioning the full
+        # text here would shuffle every doc's bytes for nothing
+        raw_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .join(F.broadcast(member_ids), "id", "left_semi"),
+        "id", "_t", shingle_n,
+    )
     joined = pairs.join(
         sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
     ).join(
@@ -216,17 +329,28 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col):
-    """64-bit SimHash over whitespace tokens: bit i of the signature is
-    the majority vote of bit i across per-token 60-bit hashes.
-    Higher-order expressions only; bit extraction uses shiftright
-    (integer) — NOT `/`, which is double division in Spark and mangles
-    the low bits of 60-bit hashes past the 53-bit mantissa."""
-    toks = F.split(_norm_text(text_col), " ")
-    th = F.transform(
+def token_hashes(text_col):
+    """Per-token 60-bit portable hashes of the normalized whitespace
+    tokens (the SimHash input). Bind the RESULT to a column before
+    feeding it to simhash64_from_hashes — see shingles_of contract."""
+    toks = _tok_col(text_col)
+    return F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
+
+
+def simhash64_from_hashes(th):
+    """64-bit SimHash from a BOUND token-hash array attribute: bit i of
+    the signature is the majority vote of bit i across the hashes.
+    Bit extraction uses shiftright (integer) — NOT `/`, which is
+    double division in Spark and mangles the low bits of 60-bit
+    hashes past the 53-bit mantissa.
+
+    `th` must be a real column (attribute): the 60 per-bit filters
+    each reference it, and an inline subtree there is re-evaluated
+    once per filter (60x the md5 work per row, the dominant cost of
+    the old simhash64(text) form — OPTIMIZATION_r06.md)."""
     bits = []
     for i in range(60):
         ones = F.size(
@@ -243,6 +367,18 @@ def simhash64(text_col):
     return out
 
 
+def simhash64(text_col):
+    """64-bit SimHash directly from text — convenience form for
+    single-use plans and the unit tests. The token-hash array is
+    let-bound (see shingle_tokens) so the 60 per-bit filters see a
+    lambda variable; inline they would each re-run the md5 transform
+    (60x the hash work per row)."""
+    return F.transform(
+        F.array(token_hashes(text_col)),
+        lambda th: simhash64_from_hashes(th),
+    )[0]
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -254,11 +390,9 @@ def ngram_jaccard_pairs(
     """Near-dup pairs via a shared-shingle inverted index + exact
     Jaccard verify. Posting lists longer than max_posting are dropped
     (stop-shingle cut) to bound the pair blow-up."""
+    raw_docs = docs
     docs = ensure_min_parallelism(docs)
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    base = _doc_shingles(docs, id_col, text_col, shingle_n)
     posting = base.select("id", F.explode("sh").alias("shingle"))
     capped = posting.withColumn(
         "psz", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
@@ -270,7 +404,21 @@ def ngram_jaccard_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sets = base.select("id", "sh")
+    # same discipline as minhash_lsh_pairs: materialize the thin,
+    # posting-cap-bounded candidate pairs once, then recompute shingle
+    # sets ONLY for candidate docs via a broadcast semi-join — without
+    # this the two verify joins re-run the full corpus shingle pass
+    cand = cand.localCheckpoint(eager=True)
+    member_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = _doc_shingles(
+        raw_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .join(F.broadcast(member_ids), "id", "left_semi"),
+        "id", "_t", shingle_n,
+    )
     joined = (
         cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -360,16 +508,28 @@ def simhash_near_dup_pairs(
         # through and share the md5('') signature, flooding hamming-0
         # "pairs") — require at least one NON-whitespace character
         .filter(F.col("_t").rlike("\\S"))
-        .select("id", simhash64(F.col("_t")).alias("sig"))
+        # token hashes bound to a column BEFORE the 60-bit majority:
+        # inline, each of the 60 per-bit filters re-evaluates the md5
+        # transform (60x the hash work per row — the dominant cost of
+        # the old plan, see simhash64_from_hashes)
+        .select("id", token_hashes(F.col("_t")).alias("_th"))
+        .select("id", simhash64_from_hashes(F.col("_th")).alias("sig"))
     )
+    # explicit python-built band array (no transform lambda): `sig`
+    # referenced from a lambda body would be re-evaluated per band
     banded = base.select(
         "id",
         "sig",
         F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
-                f"(sig div cast(pow(2, b * {bits_per_band}) as bigint)) "
-                f"% {2 ** bits_per_band} as band_bits))"
+            F.array(
+                *[
+                    F.expr(
+                        f"struct({b} as band, "
+                        f"(sig div CAST({2 ** (b * bits_per_band)} AS BIGINT)) "
+                        f"% {2 ** bits_per_band} as band_bits)"
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band"), F.col("bb.band_bits"))
@@ -421,15 +581,22 @@ def repeated_window_stats(
     what the DuckDB value oracle pins.
     """
     docs = ensure_min_parallelism(docs)
-    base = docs.select(
-        F.col(id_col),
-        F.transform(
-            # shingle_tokens with n=k IS the k-word stride-1 window
-            # sequence (positions kept, no distinct)
-            shingle_tokens(F.col(text_col), k),
-            lambda s: portable_hash64(s),
-        ).alias("hs"),
-    ).filter(F.size("hs") > 0)
+    # tokens bound to a column, then ONE fused transform hashing each
+    # k-word stride-1 window (positions kept, no distinct); the old
+    # transform-over-shingle_tokens form re-tokenized per element
+    # (shingles_of contract). filter(size(toks) >= k) == the old
+    # filter(size(hs) > 0).
+    base = (
+        docs.select(F.col(id_col), _tok_col(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: portable_hash64(_join_tokens(F.col("_toks"), i, k)),
+            ).alias("hs"),
+        )
+    )
     ex = base.select(F.col(id_col), F.explode("hs").alias("h"))
     # corpus-wide occurrence count via a window over the ONE exchange
     # on h — a groupBy+join-back would build two independent subplans
@@ -549,9 +716,16 @@ def line_dedup_stats(
     remains. Text bytes never shuffle.
     """
     docs = ensure_min_parallelism(docs)
-    ex = docs.select(
-        F.col(id_col),
-        F.explode(chunk_hash_array(F.col(text_col), k)).alias("h"),
+    ex = (
+        docs.select(F.col(id_col), _tok_col(F.col(text_col)).alias("_toks"))
+        # explode drops empty arrays, so this filter only formalizes
+        # what the old chunk_hash_array `otherwise []` branch did —
+        # and lets the chunk lambda reference a bound attribute
+        .filter(F.size("_toks") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(chunk_hashes_of(F.col("_toks"), k)).alias("h"),
+        )
     )
     per_doc_h = ex.groupBy(id_col, "h").agg(
         F.count(F.lit(1)).alias("c_inst")
