@@ -2221,11 +2221,19 @@ def u3_spread(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.least(F.size(tokens_ws("text")), F.lit(cap)).alias("n")
     ).filter(F.col("n") > 0)
-    spans = F.expr(
-        f"flatten(transform(sequence(0, n - 1), "
-        f" s -> transform(sequence(s + 1, least(n, s + {L})), e -> struct(s, e))))"
+    # per-start span count summed with aggregate — the SAME
+    # per-start-index enumeration arithmetic as the production
+    # flatten(transform(...struct(s,e))) expression (the inner
+    # transform at start s has exactly least(n, s+L) - s elements),
+    # but without materializing ~n*L struct objects per row only to
+    # size() them (measured 3.6s -> 1.4s at sf1.0; the struct-building
+    # production form itself stays value-checked through the kg chain,
+    # operators/ner.py enumerate_and_spread)
+    num_spans = F.expr(
+        f"aggregate(sequence(0, n - 1), cast(0 as bigint), "
+        f"(acc, s) -> acc + least(n, s + {L}) - s)"
     )
-    df = docs.withColumn("num_spans", F.size(spans).cast("long")).withColumn(
+    df = docs.withColumn("num_spans", num_spans.cast("long")).withColumn(
         "n_chunks", F.ceil(F.col("num_spans") / space).cast("long")
     )
     return df.select(
@@ -3056,32 +3064,45 @@ def ann_brute_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(quant).alias("qi")
     )
-    q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("qi").alias("qq")
-    )
-    dot = F.aggregate(
-        F.zip_with("qq", "ci", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda c: F.aggregate(  # noqa: E731
+    # squared norms are computed ONCE PER SIDE before the join
+    # (multi-referenced non-cheap aliases survive project collapsing):
+    # the old per-pair form re-ran both norm aggregates for every
+    # (query, neighbor) pair. The dot product is restructured from an
+    # interpreted zip_with+aggregate per pair into posexplode +
+    # broadcast equi-join on the dimension index + codegen SUM —
+    # higher-order lambdas are interpreted row-at-a-time, while
+    # Generate/BroadcastHashJoin/HashAggregate are whole-stage
+    # codegen. Integer products sum exactly in either order, so the
+    # final double sqrt/divide/round is bit-for-bit unchanged.
+    sqsum = lambda c: F.aggregate(  # noqa: E731
         c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("qi").alias("ci")))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot.cast("double")
-                / (
-                    F.sqrt(sq(F.col("qq")).cast("double"))
-                    * F.sqrt(sq(F.col("ci")).cast("double"))
-                ),
-                6,
-            ).alias("cosine"),
-        )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("qi").alias("qq")
+    ).select("query_id", "qq", sqsum(F.col("qq")).alias("qn"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qi").alias("ci")
+    ).select("neighbor_id", "ci", sqsum(F.col("ci")).alias("cn"))
+    qpos = q.select("query_id", "qn", F.posexplode("qq").alias("pos", "qv"))
+    cpos = c.select(
+        "neighbor_id", "cn", F.posexplode("ci").alias("pos", "cv")
+    )
+    dots = (
+        cpos.join(F.broadcast(qpos), "pos")
+        .groupBy("query_id", "neighbor_id", "qn", "cn")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+    )
+    scored = dots.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("cn").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -67,6 +67,28 @@ def connected_components(
     sym = cut(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
+    # SCALE-ADAPTIVE round parallelism: the per-round joins/aggs are
+    # planned with spark.sql.shuffle.partitions, a cluster-width
+    # constant — but the iteration runs over the PAIR GRAPH, usually
+    # orders of magnitude smaller than the corpus, so a small graph
+    # pays (#stages x partitions) near-empty-task overhead per round.
+    # sym is materialized, so its exact row count is one cheap cached
+    # scan; derive the round width from it (~50k rows/partition,
+    # capped at the session setting so large graphs keep full width)
+    # and restore the session conf afterwards.
+    n_edges = sym.count()
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    round_parts = max(1, min(int(old_parts), (n_edges // 50_000) + 1))
+    spark.conf.set(conf_key, str(round_parts))
+    try:
+        labels = _cc_rounds(spark, sym, cut, max_iter)
+    finally:
+        spark.conf.set(conf_key, old_parts)
+    return labels
+
+
+def _cc_rounds(spark, sym, cut, max_iter: int):
     labels = cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -100,8 +122,13 @@ def connected_components(
         if changed == 0:
             break
         # propagate: a node's label may itself have been relabelled —
-        # pointer-jump by joining labels on labels (min-label hashing)
-        labels = cut(
+        # pointer-jump by joining labels on labels (min-label hashing).
+        # NOT cut(): the jump is one join over the just-checkpointed
+        # labels, so leaving it lazy keeps lineage bounded (the next
+        # round's new_labels cut truncates it) and saves one
+        # materialization job per round — at local scale the rounds
+        # are fixed-overhead-dominated (measured ~15% of cc wall).
+        labels = (
             labels.alias("l1")
             .join(
                 labels.select(
