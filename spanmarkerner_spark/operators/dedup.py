@@ -451,9 +451,14 @@ def embedding_near_dup_pairs(
             for i in range(bucket_dims)
         ],
     )
+    # squared norm once per VECTOR (before the pair join), not once
+    # per pair: sqrt over the same double sum keeps cosine bits equal
+    sqn = F.aggregate(
+        F.col("v"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+    )
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sign_key.alias("bucket")
-    )
+    ).withColumn("nn", sqn)
     pairs = (
         base.alias("x")
         .join(base.alias("y"), "bucket")
@@ -463,6 +468,8 @@ def embedding_near_dup_pairs(
             F.col("y.id").alias("id_b"),
             F.col("x.v").alias("va"),
             F.col("y.v").alias("vb"),
+            F.col("x.nn").alias("na"),
+            F.col("y.nn").alias("nb"),
         )
     )
     dot = F.aggregate(
@@ -470,11 +477,11 @@ def embedding_near_dup_pairs(
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
-    )
     return (
-        pairs.withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        pairs.withColumn(
+            "cosine",
+            F.round(dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -655,24 +662,33 @@ def semantic_dedup_pairs(
     the quantizer is too coarse there, re-run with larger k_cells).
     """
     from spanmarkerner_spark.operators.clustering import train
-    from spanmarkerner_spark.operators.similarity import _int_cosine
+    from spanmarkerner_spark.operators.similarity import (
+        _int_cosine_pre,
+        _sqnorm,
+    )
 
     _, _, assigned = train(
         emb, dim, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
     sized = assigned.withColumn(
         "_csz", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
-    ).filter(F.col("_csz") <= max_cell)
+    ).filter(F.col("_csz") <= max_cell).withColumn("_nn", _sqnorm(F.col("qv")))
     a = sized.select(
-        "cluster", F.col(id_col).alias("id_a"), F.col("qv").alias("va")
+        "cluster", F.col(id_col).alias("id_a"), F.col("qv").alias("va"),
+        F.col("_nn").alias("na"),
     )
     b = sized.select(
-        "cluster", F.col(id_col).alias("id_b"), F.col("qv").alias("vb")
+        "cluster", F.col(id_col).alias("id_b"), F.col("qv").alias("vb"),
+        F.col("_nn").alias("nb"),
     )
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _int_cosine(F.col("va"), F.col("vb")))
+        # norms once per vector (similarity._sqnorm), dot per pair
+        .withColumn(
+            "cosine",
+            _int_cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

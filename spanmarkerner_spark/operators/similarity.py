@@ -31,6 +31,26 @@ def _cosine(va, vb):
     return dot / (n(va) * n(vb))
 
 
+def _sqnorm_f(v):
+    """Double sum of squares of a float vector — the per-SIDE half of
+    _cosine, precomputed before a pair join so only the dot remains
+    per-pair (identical lambda, so the sum and the final cosine are
+    bit-for-bit what the inline form produced)."""
+    return F.aggregate(
+        v, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+    )
+
+
+def _cosine_pre(va, vb, na, nb):
+    """_cosine with the two _sqnorm_f sums precomputed per side."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -43,13 +63,19 @@ def brute_force_topk(
     deterministic tie-break on neighbor id. queries: (query_id, vec)."""
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("qn", _sqnorm_f(F.col("qv")))
     )
     corpus = ensure_min_parallelism(corpus)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _sqnorm_f(F.col("cv")))
     scored = q.crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        # norms per side (not per pair); same double sums, same bits
+        F.round(
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     # partial top-k per partition would need a window anyway; a single
     # groupBy with slice(sort_array(collect_list(struct))) gives one
@@ -142,7 +168,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
-    )
+    ).withColumn("cn", _sqnorm_f(F.col("cv")))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -152,12 +178,15 @@ def ivf_topk(
                     probe_buckets(F.col(vec_col), bucket_dims, multiprobe)
                 )
             ).alias("bucket"),
-        )
+        ).withColumn("qn", _sqnorm_f(F.col("qv")))
     )
     scored = q.join(c, "bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        # norms per side (not per pair); same double sums, same bits
+        F.round(
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     agg = (
         scored.groupBy("query_id")
@@ -240,11 +269,17 @@ def ivf_topk_from_index(
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets))
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
+        .withColumn("cn", _sqnorm_f(F.col("cv")))
     )
-    scored = F.broadcast(q_probed).join(idx, "bucket").select(
+    scored = F.broadcast(
+        q_probed.withColumn("qn", _sqnorm_f(F.col("qv")))
+    ).join(idx, "bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        # norms per side (not per pair); same double sums, same bits
+        F.round(
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     agg = scored.groupBy("query_id").agg(
         F.slice(
@@ -275,7 +310,9 @@ def _int_cosine(va, vb):
     """Exact cosine over quantized integer vectors: long dot/norms
     (exact — products sum well under 2^53), ONE double division,
     rounded to 6 — the cross-engine-reproducible scoring used by the
-    oracle-pinned ANN entries."""
+    oracle-pinned ANN entries. In pair joins prefer _int_cosine_pre
+    with per-SIDE precomputed norms: this form re-runs both norm
+    aggregates for every pair."""
     dot = F.aggregate(
         F.zip_with(va, vb, lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -287,6 +324,30 @@ def _int_cosine(va, vb):
         ).cast("double")
     )
     return F.round(dot / (n(va) * n(vb)), 6)
+
+
+def _sqnorm(v):
+    """Exact long sum of squares of a quantized integer vector —
+    compute ONCE PER SIDE before a pair join (8 bytes per row through
+    the exchange) instead of once per pair inside the scoring
+    expression; sqrt of the same integer sum gives bit-identical
+    cosines."""
+    return F.aggregate(
+        v, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+
+
+def _int_cosine_pre(va, vb, na, nb):
+    """_int_cosine with the two _sqnorm sums precomputed: only the dot
+    product remains per-pair work. Same values, same rounding."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    return F.round(
+        dot / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 6
+    )
 
 
 def ivf_kmeans_topk(
@@ -340,16 +401,23 @@ def ivf_kmeans_topk(
         .filter(F.col("_pr") <= nprobe)
         .select("query_id", "qq", "cid")
     )
-    cand = F.broadcast(probe).join(
+    cand = F.broadcast(
+        probe.withColumn("qn", _sqnorm(F.col("qq")))
+    ).join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("qv"),
             F.col("cluster").alias("cid"),
-        ),
+        ).withColumn("nn", _sqnorm(F.col("qv"))),
         "cid",
     )
     scored = cand.select(
-        "query_id", "neighbor_id", _int_cosine("qq", "qv").alias("cosine")
+        "query_id",
+        "neighbor_id",
+        # norms once per query / per corpus vector, not per pair
+        _int_cosine_pre(
+            F.col("qq"), F.col("qv"), F.col("qn"), F.col("nn")
+        ).alias("cosine"),
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -853,17 +921,29 @@ def knn_graph_mutual(
             lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
         ).alias("vi"),
         sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
-    )
+    ).withColumn("nn", _sqnorm(F.col("vi")))
     sized = base.withColumn(
         "_bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     ).filter(F.col("_bsz") <= max_bucket)
-    a = sized.select("bucket", F.col("nid").alias("src"), F.col("vi").alias("va"))
-    b = sized.select("bucket", F.col("nid").alias("dst"), F.col("vi").alias("vb"))
+    a = sized.select(
+        "bucket", F.col("nid").alias("src"),
+        F.col("vi").alias("va"), F.col("nn").alias("na"),
+    )
+    b = sized.select(
+        "bucket", F.col("nid").alias("dst"),
+        F.col("vi").alias("vb"), F.col("nn").alias("nb"),
+    )
     scored = (
         a.join(b, "bucket")
         .filter(F.col("src") != F.col("dst"))
         .select(
-            "src", "dst", _int_cosine(F.col("va"), F.col("vb")).alias("cosine")
+            "src",
+            "dst",
+            # per-side norms precomputed in `base` (8 extra bytes per
+            # row); only the dot remains per-pair — same cosine bits
+            _int_cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
     )
     wr = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
