@@ -365,6 +365,13 @@ def bfs_distances(
         "node", F.lit(0).cast("long").alias("dist")
     )
     for t in range(1, max_dist + 1):
+        # cut lineage per round: dist is referenced TWICE below
+        # (frontier filter + the min-merge union), so an uncut plan
+        # embeds two copies of the previous round's subtree — 2^t
+        # copies of the seed expansion by round t. One thin
+        # (node, long) materialization per round keeps it linear
+        # (the components.py / k_core discipline).
+        dist = dist.localCheckpoint(eager=True)
         frontier = dist.filter(F.col("dist") == t - 1).select(
             F.col("node").alias("src")
         )
@@ -538,9 +545,14 @@ def random_walks(
                 + 1
             ).alias("rn"),
         )
+        # cut lineage per step: every union branch below embeds the
+        # whole frontier-join chain up to its step, so without the
+        # cut the final plan executes O(walk_len^2) joins (branch t
+        # re-runs steps 1..t); with it each step's thin
+        # (walk_id, node) frontier is computed exactly once
         cur = pick.join(nbr, ["src", "rn"]).select(
             "walk_id", F.col("dst").alias("node")
-        )
+        ).localCheckpoint(eager=True)
         out = out.unionByName(
             cur.select(
                 "walk_id", F.lit(t).cast("long").alias("step"), "node"

@@ -227,12 +227,6 @@ def _minhash_band_cols(
     from spanmarkerner_spark.operators.dedup import shingle_tokens
 
     rows_per_band = num_hashes // bands
-    # NOTE Catalyst project-collapsing re-inlines sh_h (and the sig
-    # aggregate) into each band lambda, so the shingle transform is
-    # evaluated ~bands+1 times per row. Negligible at micro-batch
-    # size; a bulk BACKFILL through this path should materialize the
-    # sh_h column first (localCheckpoint or an intermediate write) —
-    # same caveat class as the one documented in operators/dedup.
     sh_h = F.transform(
         F.array_distinct(shingle_tokens(text_col, shingle_n)),
         lambda s: F.xxhash64(s),
@@ -252,12 +246,26 @@ def _minhash_band_cols(
         )
         return F.aggregate(col, init, step)
 
+    # the signature aggregate is LET-BOUND (single-element transform,
+    # dedup.shingle_tokens pattern) and the band slices are a
+    # python-built array: the old transform-over-sequence form put
+    # sig(sh_h) inside the band lambda, where the interpreted HOF
+    # path re-evaluated the whole signature (and, after project
+    # collapsing, the shingle transform) once PER BAND per row.
     band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            b, F.slice(sig(F.col("sh_h")), b * rows_per_band + 1, rows_per_band).cast("string")
+        F.array(sig(F.col("sh_h"))),
+        lambda sg: F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    F.slice(sg, b * rows_per_band + 1, rows_per_band).cast(
+                        "string"
+                    ),
+                )
+                for b in range(bands)
+            ]
         ),
-    )
+    )[0]
     return sh_h, band_keys
 
 
