@@ -119,21 +119,19 @@ def run_pipeline(
         # parallelism explicitly (explicit repartition is exempt from
         # AQE coalescing). Page text bytes vastly underestimate the
         # O(words * entity_max_length) scoring work per row.
-        # local-mode python-worker sizing, re-measured for the FUSED
-        # single-UDF path (one worker per task) on the saturating
-        # 216k-sentence input, best-of trials:
-        #   parts=cores:   4c 46s / 8c 24s / 16c 17-54s (bimodal) /
-        #                  32c 92s (collapse: 73 sent/s/worker vs 1100
-        #                  at <=8 workers — worker+JVM thread count
-        #                  crosses the box's stable share)
-        #   parts=cores/2: 16c 26-30s / 32c 17.8s (stable)
-        # -> full width up to 8 cores, half width above. On a real
-        # cluster executors are sized per node and this cap is
-        # irrelevant (defaultParallelism is the cluster width).
+        # FULL WIDTH (defaultParallelism) everywhere. A round-5
+        # local-mode halving heuristic (cores//2 above 8 cores) was
+        # built on a measured 32-worker collapse on the saturating
+        # 216k-sentence input — re-measured this round AFTER the
+        # encode_words memoization landed, the collapse is gone and
+        # full width wins at every probed size (local[32], best-of-2,
+        # fused path):
+        #   10k sentences:  16w 2.50s / 24w 2.37s / 32w 2.19s
+        #   55k sentences:  16w 14.2s / 24w 9.1s  / 32w 7.5s
+        #   106k sentences: 16w 5.95s / 24w 5.02s / 32w 4.35s
+        # (OPTIMIZATION_r06.md). On a real cluster this was always
+        # defaultParallelism — the special case is simply removed.
         num_partitions = spark.sparkContext.defaultParallelism
-        if spark.sparkContext.master.startswith("local"):
-            cores_n = num_partitions
-            num_partitions = cores_n if cores_n <= 8 else max(4, cores_n // 2)
     if num_partitions:
         # the single deliberate shuffle, BEFORE segmentation: the
         # segment window (partitionBy url) then runs on this exchange
