@@ -19,6 +19,48 @@ from pyspark.sql import functions as F
 from spanmarkerner_spark.session import ensure_min_parallelism
 
 
+def _train_subspaces(
+    src: DataFrame,
+    dim: int,
+    m_sub: int,
+    k_codes: int,
+    iters: int,
+    id_col: str,
+    slice_col: str,
+):
+    """Train the m_sub per-subspace PQ codebooks CONCURRENTLY.
+
+    The subspace trainings are independent of each other, but each
+    one runs an EAGER localCheckpoint job per Lloyd's iteration
+    (clustering.train materialize=True) — sequentially, that
+    serializes m_sub small aggregation jobs whose fixed per-job
+    overhead dominates wall time until the corpus is huge
+    (guide §2.6: overlap independent jobs so the next job's tasks
+    back-fill the tail). A small driver-side thread pool submits all
+    m_sub chains at once; each returned (qvecs, cent, assigned)
+    triple is the same lazy plan the sequential loop built, in the
+    same m order, so downstream plans and values are identical.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .clustering import train
+
+    sub = dim // m_sub
+
+    def one(m: int):
+        sub_vecs = src.select(
+            F.col(id_col),
+            F.slice(F.col(slice_col), m * sub + 1, sub).alias("qv"),
+        )
+        return train(
+            sub_vecs, sub, k=k_codes, iters=iters,
+            id_col=id_col, vec_col="qv", pre_quantized=True,
+        )
+
+    with ThreadPoolExecutor(max_workers=m_sub) as pool:
+        return list(pool.map(one, range(m_sub)))
+
+
 def _cosine(va, vb):
     dot = F.aggregate(
         F.zip_with(va, vb, lambda a, b: a * b),
@@ -488,14 +530,10 @@ def pq_topk(
         F.col(id_col).alias("query_id"), F.col("qv").alias("qfull")
     )
     pair_parts = []
-    for m in range(m_sub):
-        sub_vecs = base.select(
-            F.col(id_col), F.slice(F.col("qv"), m * sub + 1, sub).alias("qv")
-        )
-        _, cent_m, assigned_m = train(
-            sub_vecs, sub, k=k_codes, iters=iters,
-            id_col=id_col, vec_col="qv", pre_quantized=True,
-        )
+    trained = _train_subspaces(
+        base, dim, m_sub, k_codes, iters, id_col, "qv"
+    )
+    for m, (_, cent_m, assigned_m) in enumerate(trained):
         queries_m = queries_full.select(
             "query_id", F.slice(F.col("qfull"), m * sub + 1, sub).alias("qq")
         )
@@ -614,14 +652,10 @@ def ivf_pq_residual_topk(
 
     sub = dim // m_sub
     pair_parts = []
-    for m in range(m_sub):
-        sub_vecs = resid.select(
-            F.col(id_col), F.slice(F.col("rv"), m * sub + 1, sub).alias("qv")
-        )
-        _, cent_m, assigned_m = train(
-            sub_vecs, sub, k=k_codes, iters=iters,
-            id_col=id_col, vec_col="qv", pre_quantized=True,
-        )
+    trained = _train_subspaces(
+        resid, dim, m_sub, k_codes, iters, id_col, "rv"
+    )
+    for m, (_, cent_m, assigned_m) in enumerate(trained):
         # per-(query, probed-cell) ADC table over this subspace's
         # residual codebook: n_queries * nprobe * k_codes rows
         dtab = probe.select(
@@ -723,14 +757,10 @@ def ivf_pq_topk(
     # PQ codebooks + ADC tables per subspace — sliced from `base`
     sub = dim // m_sub
     pair_parts = []
-    for m in range(m_sub):
-        sub_vecs = base.select(
-            F.col(id_col), F.slice(F.col("qv"), m * sub + 1, sub).alias("qv")
-        )
-        _, cent_m, assigned_m = train(
-            sub_vecs, sub, k=k_codes, iters=iters,
-            id_col=id_col, vec_col="qv", pre_quantized=True,
-        )
+    trained = _train_subspaces(
+        base, dim, m_sub, k_codes, iters, id_col, "qv"
+    )
+    for m, (_, cent_m, assigned_m) in enumerate(trained):
         queries_m = queries.select(
             "query_id", F.slice(F.col("qq"), m * sub + 1, sub).alias("qq")
         )
