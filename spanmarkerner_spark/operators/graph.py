@@ -57,7 +57,14 @@ def pagerank(
         r(v) <- ((100-d)*r0) div 100  +  (d * sum_in(r(u) div deg(u))) div 100
     with r0 = scale div N. Floor-rounded PageRank — deterministic,
     reproducible in integer SQL. Assumes a symmetric edge set (no
-    dangling nodes), as produced by cooccurrence_edges."""
+    dangling nodes), as produced by cooccurrence_edges.
+
+    Lineage note (r6, measured): the unroll is LINEAR — edges/deg are
+    referenced once per iteration and runtime exchange reuse already
+    dedups those identical subtrees, so eager checkpoints here only
+    added fixed job overhead (1.68s -> 2.36s at sf0.01). Left lazy;
+    contrast hits(), whose raw/total double-references grow the plan
+    GEOMETRICALLY and genuinely need the cut."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("_n"))
     base_pct = 100 - damping_pct
@@ -296,10 +303,20 @@ def hits(edges: DataFrame, iters: int = 2, scale: int = 10**6) -> DataFrame:
     half-step moves only the thin (node, score) table plus one
     map-side-combinable keyed sum, and the normalizer is a single
     broadcast scalar. Per-iteration bytes ~ nodes, not edges.
+
+    Lineage: every half-step references `edges`, and each raw/total
+    pair references its input twice, so the uncut lazy unroll embeds
+    the edges subtree GEOMETRICALLY — web_host_hits' 2-iteration plan
+    carried 284 copies of the link-extraction scan (562 Exchanges,
+    989KB plan text) before the cut. One eager checkpoint of the
+    (thin) edge list plus one thin (node, raw) checkpoint per
+    half-step keeps the plan linear — the components.py / k_core /
+    bfs_distances discipline. Materialization only; values unchanged.
     """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
-    nodes = src_nodes.union(dst_nodes).distinct()
+    nodes = src_nodes.union(dst_nodes).distinct().localCheckpoint(eager=True)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     h = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.expr(f"CAST({scale} div _n AS LONG)").alias("s")
@@ -310,6 +327,7 @@ def hits(edges: DataFrame, iters: int = 2, scale: int = 10**6) -> DataFrame:
             edges.join(h.select(F.col("node").alias("src"), "s"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         ta = a_raw.agg(F.sum("raw").alias("_t"))
         a = a_raw.crossJoin(F.broadcast(ta)).select(
@@ -319,6 +337,7 @@ def hits(edges: DataFrame, iters: int = 2, scale: int = 10**6) -> DataFrame:
             edges.join(a.select(F.col("node").alias("dst"), "s"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         th = h_raw.agg(F.sum("raw").alias("_t"))
         h = h_raw.crossJoin(F.broadcast(th)).select(
