@@ -253,27 +253,50 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 16) -> DataFrame:
     )
     cur = sym
     prev_edges = cur.count()
-    for _ in range(max_rounds):
-        surv = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .filter(F.col("_d") >= k)
-            .select(F.col("src").alias("node"))
-        )
-        nxt = (
-            cur.join(surv.select(F.col("node").alias("src")), "src")
-            .join(surv.select(F.col("node").alias("dst")), "dst")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
-        n_edges = nxt.count()
-        cur = nxt
-        if n_edges == prev_edges:
-            break
-        prev_edges = n_edges
-    return cur.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
-    ).select(F.col("src").alias("node"), "degree")
+    # SCALE-ADAPTIVE round parallelism (the components.py recipe):
+    # the peel rounds run over the (usually small) surviving subgraph
+    # but are planned at the cluster-width shuffle setting, so a
+    # small graph pays (#stages x partitions) near-empty-task
+    # overhead per round — measured ~0.4s/round over a 1,908-edge
+    # kNN graph at local[32], ~0.1s at the derived width. sym is
+    # materialized, so its row count is one cheap scan; ~50k
+    # rows/partition, capped at the session setting so large graphs
+    # keep full width; conf restored after.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    round_parts = max(1, min(int(old_parts), (prev_edges // 50_000) + 1))
+    spark.conf.set(conf_key, str(round_parts))
+    try:
+        for _ in range(max_rounds):
+            surv = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= k)
+                .select(F.col("src").alias("node"))
+            )
+            nxt = (
+                cur.join(surv.select(F.col("node").alias("src")), "src")
+                .join(surv.select(F.col("node").alias("dst")), "dst")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            n_edges = nxt.count()
+            cur = nxt
+            if n_edges == prev_edges:
+                break
+            prev_edges = n_edges
+        out = cur.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        ).select(F.col("src").alias("node"), "degree")
+        # materialize the (node-sized) result inside the narrowed
+        # conf window: the caller's action would otherwise plan the
+        # final degree shuffle after the conf is restored — harmless
+        # for values, but the checkpoint keeps the whole peel at the
+        # derived width
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, old_parts)
 
 
 def hits(edges: DataFrame, iters: int = 2, scale: int = 10**6) -> DataFrame:
