@@ -563,10 +563,24 @@ def random_walks(
     from spanmarkerner_spark.functions.hashing import portable_hash64
 
     w = Window.partitionBy("src").orderBy("dst")
+    # nbr/deg are static across steps but each step's eager frontier
+    # checkpoint is a SEPARATE JOB — runtime exchange reuse never
+    # spans jobs, so without these cuts every step re-executes the
+    # edge derivation (a self-join for the successor graph), the
+    # ranking window and the degree agg from scratch: ~2*walk_len
+    # redundant executions per walk corpus. One eager checkpoint of
+    # the thin edge list feeds both; materialization only, values
+    # unchanged. (Contrast pagerank/bfs/ppr: their unrolls run as ONE
+    # lazy action, where exchange reuse already dedups — measured
+    # slower with checkpoints, see pagerank's docstring.)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nbr = edges.select(
         "src", "dst", F.row_number().over(w).cast("long").alias("rn")
+    ).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     cur = seeds.select("node").distinct().select(
         F.col("node").alias("walk_id"), F.col("node")
     )
