@@ -403,6 +403,15 @@ def bfs_distances(
     localCheckpoint the distance table every few rounds (same
     lineage note as components.py / k_core above).
     """
+    # NOTE (r6, measured): the per-round dist checkpoint makes every
+    # round a separate job and exchange reuse never spans jobs, so a
+    # derived edge input re-executes once per round — but an eager
+    # edges checkpoint here A/B'd NEUTRAL at sf0.1 (3.5-4.4s both
+    # ways) and slower at sf0.01 (one frontier join per round is
+    # cheap vs the extra materialization), unlike random_walks whose
+    # steps re-ran a full ranking window + degree agg (O17). Left
+    # uncut; on a real cluster persist edges by src as the docstring
+    # says.
     dist = seeds.select("node").distinct().select(
         "node", F.lit(0).cast("long").alias("dist")
     )
