@@ -72,11 +72,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         # byte-based post-shuffle coalescing is wrong for this engine:
-        # the Arrow-UDF stages do ~1000x more compute per byte than
-        # typical SQL, so AQE collapses the (byte-small) sentence
-        # shuffle to a handful of partitions and serializes the NER
-        # chain (measured: 32-core run at 10% CPU). Skew-join splitting
-        # stays on.
+        # its per-byte compute is ~1000x typical SQL (interpreted HOF
+        # chains, Arrow-UDF stages), so AQE's byte heuristic
+        # serializes compute-dense stages behind byte-small exchanges.
+        # Round-2 measured the NER chain collapse (32-core run at 10%
+        # CPU); round 6 RE-TESTED enablement after the explicit
+        # numbered repartitions (exempt from coalescing) took over the
+        # entry points: kg_e2e improved (8.1 -> 6.8s at sf1.0 volume —
+        # the post-NER linking/relations exchanges coalesce nicely),
+        # but the minhash-LSH verify phase regressed 2.2 -> 4.0s warm
+        # at the same volume (array_intersect per candidate pair
+        # serialized behind a ~4MB pair exchange), and explicit-width
+        # pinning of the bucket/verify exchanges did not reliably
+        # recover it under measurement noise. Net across the bench:
+        # wash-to-negative — kept OFF (OPTIMIZATION_r06.md, O18).
+        # Skew-join splitting stays on.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
